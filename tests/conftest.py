@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real TPU is reserved for bench.py; unit tests exercise the identical jitted
+code paths on CPU (with float64 available for physics parity tests against
+the MuJoCo CPU oracle).
+"""
+
+import os
+
+# force CPU: the session environment may point JAX at a remote TPU (axon),
+# which would run every un-jitted op over the wire and lacks float64
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(0)
