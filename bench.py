@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched humanoid_im simulation throughput on one chip.
+
+Measures aggregate physics substeps/sec (450 Hz substeps, the unit of the
+reference's hot loop) for a full RL rollout workload: MCP policy apply +
+stable-PD + CRBA/RNEA dynamics + contact solve + obs build + reward +
+termination + auto-reset, all fused in one jitted scan.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "substeps/sec", "vs_baseline": N}
+
+Baseline: the north-star target of 1M substeps/s on a v5e-8 => 125k/s/chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import joblib
+import numpy as np
+
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", "2048"))
+N_STEPS = int(os.environ.get("BENCH_N_STEPS", "32"))
+STANDING = "/root/reference/sample_data/standing_neutral.pkl"
+
+
+def build():
+    from kinpoly_tpu.anim.mjcf import parse_humanoid
+    from kinpoly_tpu.config.defaults import uhc_control_params
+    from kinpoly_tpu.data import expert as exlib
+    from kinpoly_tpu.envs.humanoid_im import EnvConfig, HumanoidImEnv
+    from kinpoly_tpu.models import nets
+    from kinpoly_tpu.physics import engine as eng
+    from kinpoly_tpu.rl import rollout as ro, running_norm as rn
+
+    spec = parse_humanoid(
+        "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml"
+    )
+    model = eng.build_model(spec, uhc_control_params(spec))
+    standing = joblib.load(STANDING)
+    qpos = np.asarray(standing["qpos"], dtype=np.float32)
+
+    rngn = np.random.RandomState(0)
+    T = 120
+    seq = np.repeat(qpos[None], T, axis=0)
+    seq[:, 7:] += np.cumsum(rngn.uniform(-0.005, 0.005, (T, 69)), axis=0).astype(np.float32)
+    clip = exlib.from_qpos(spec, seq, dt=model.control_dt, pad_to=128)
+    bank = exlib.stack_bank([clip, clip])
+
+    env = HumanoidImEnv(
+        model, EnvConfig(env_episode_len=100000), bank,
+        standing["qpos"].astype(np.float32), standing["qvel"].astype(np.float32),
+    )
+
+    policy = nets.PolicyMCP(action_dim=env.action_dim)
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 784), jnp.float32))
+    norm = rn.init(784)
+    rollout = ro.make_rollout(env, policy.apply, N_STEPS, noise_rate=1.0)
+    probs = jnp.ones(2) / 2
+    carry = ro.init_rollout_state(env, jax.random.PRNGKey(1), N_ENVS, probs)
+
+    fn = jax.jit(lambda c, p, n: rollout(c, p, n, probs)[0])
+    return fn, carry, params, norm, model
+
+
+def main():
+    fn, carry, params, norm, model = build()
+    # warmup / compile
+    carry = fn(carry, params, norm)
+    jax.block_until_ready(carry)
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        carry = fn(carry, params, norm)
+    jax.block_until_ready(carry)
+    wall = (time.time() - t0) / reps
+
+    control_steps = N_ENVS * N_STEPS
+    substeps = control_steps * model.n_substeps
+    sps = substeps / wall
+    baseline_per_chip = 1_000_000 / 8.0
+    print(json.dumps({
+        "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
+        "value": round(sps, 1),
+        "unit": "substeps/sec/chip",
+        "vs_baseline": round(sps / baseline_per_chip, 3),
+        "detail": {
+            "n_envs": N_ENVS,
+            "rollout_steps": N_STEPS,
+            "control_steps_per_sec": round(control_steps / wall, 1),
+            "wall_per_iter_s": round(wall, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,322 @@
+"""UHC motion-imitation environment (humanoid_im) as a pure function.
+
+The reference ``uhc/envs/humanoid_im.py`` is an OO gym env around a live
+MuJoCo sim; here it is a pytree-in/pytree-out step function over the batched
+JAX engine, so `vmap(step)` runs thousands of humanoids per chip and the whole
+rollout loop lives inside one jitted `lax.scan`.
+
+Faithful ports (file:line cites into /root/reference):
+- observation v1/v2 builders      humanoid_im.py:144-233, 240-317
+- world_rfc_implicit reward       uhc/core/reward_function.py:4-54
+- termination / episode end       humanoid_im.py:535-572
+- reset with reactive init        humanoid_im.py:574-623
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kinpoly_tpu.core import tmath
+from kinpoly_tpu.data import expert as exlib
+from kinpoly_tpu.physics import engine as eng
+from kinpoly_tpu.physics import fk as fklib
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    obs_v: int = 1
+    obs_coord: str = "root"
+    obs_vel: str = "full"
+    env_term_body: str = "body"
+    body_diff_thresh: float = 0.5
+    env_episode_len: int = 100000
+    env_expert_trail_steps: int = 0
+    env_init_noise: float = 0.0
+    reactive_v: int = 1
+    reactive_rate: float = 0.3
+    base_rot: tuple = (0.7071, 0.7071, 0.0, 0.0)
+    # world_rfc_implicit reward weights (uhc.yml:37-48)
+    w_p: float = 0.3
+    w_v: float = 0.1
+    w_e: float = 0.45
+    w_c: float = 0.1
+    w_vf: float = 0.05
+    k_p: float = 2.0
+    k_v: float = 0.005
+    k_e: float = 5.0
+    k_c: float = 100.0
+    k_vf: float = 1.0
+    v_ord: int = 2
+
+
+class EnvState(NamedTuple):
+    sim: eng.SimState
+    cur_t: jax.Array          # int32
+    start_ind: jax.Array      # int32
+    prev_bquat: jax.Array     # (96,)
+    clip_idx: jax.Array       # int32 (index into the expert bank)
+    done: jax.Array           # bool
+    fail: jax.Array           # bool
+    rng: jax.Array
+
+
+class HumanoidImEnv:
+    """Stateless env namespace bound to (physics model, config, expert bank,
+    neutral standing pose). All methods are pure and jit/vmap-safe; `self`
+    only holds static host-side data."""
+
+    def __init__(self, model: eng.PhysicsModel, cfg: EnvConfig,
+                 bank: exlib.ExpertClip, neutral_qpos: np.ndarray,
+                 neutral_qvel: np.ndarray, mode: str = "train"):
+        self.model = model
+        self.cfg = cfg
+        self.bank = bank
+        self.mode = mode
+        self.neutral_qpos = jnp.asarray(neutral_qpos)
+        self.neutral_qvel = jnp.asarray(neutral_qvel)
+        self.base_rot = jnp.asarray(cfg.base_rot)
+        spec = model.spec
+        self.head_idx = spec.body_index("Head")
+        self.ee_idx = fklib.make_body_index(spec, exlib.EE_NAMES)
+        from kinpoly_tpu.config.defaults import b_diff_weights_pose, body_diff_weights
+        self.jpos_diffw = jnp.asarray(body_diff_weights(spec))
+        self.b_diffw = jnp.asarray(b_diff_weights_pose(spec))
+        self.vf_dim = 6
+        self.action_dim = 69 + self.vf_dim + (2 * model.n_substeps if model.ctrl.meta_pd else 0)
+
+    # -- expert access -----------------------------------------------------
+
+    def expert(self, state: EnvState) -> exlib.ExpertClip:
+        return exlib.index_clip(self.bank, state.clip_idx)
+
+    def expert_frame(self, state: EnvState, delta_t: int = 0) -> exlib.ExpertClip:
+        clip = self.expert(state)
+        return exlib.frame(clip, state.start_ind + state.cur_t + delta_t)
+
+    # -- observation -------------------------------------------------------
+
+    def remove_base_rot(self, quat):
+        return tmath.quat_mul(quat, tmath.quat_conj(self.base_rot))
+
+    def get_obs(self, state: EnvState, fk_res: fklib.FKResult | None = None):
+        if fk_res is None:
+            fk_res = fklib.fk(self.model.spec, state.sim.qpos)
+        if self.cfg.obs_v == 1:
+            return self._full_obs(state, fk_res, include_com=True)
+        elif self.cfg.obs_v == 2:
+            return self._full_obs(state, fk_res, include_com=False)
+        raise ValueError(f"obs_v {self.cfg.obs_v}")
+
+    def _full_obs(self, state: EnvState, fk_res: fklib.FKResult, include_com: bool):
+        """obs v1 (with per-body CoM blocks) / v2 (without), replicating the
+        reference quirks exactly: double root-frame transform of the linear
+        velocity (:150+:173) and rel_pos computed from quaternion components
+        (:187) — the trained policies saw these features."""
+        cfg = self.cfg
+        qpos = state.sim.qpos
+        qvel = state.sim.qvel
+        tgt = self.expert_frame(state, delta_t=1)
+
+        lin = tmath.transform_vec(qvel[..., :3], qpos[..., 3:7], cfg.obs_coord)
+
+        curr_root_quat = self.remove_base_rot(qpos[..., 3:7])
+        hq = tmath.heading_q(curr_root_quat)
+
+        target_qpos = tgt.qpos
+        target_root_quat = self.remove_base_rot(target_qpos[..., 3:7])
+
+        qpos_dh = jnp.concatenate(
+            [qpos[..., :3], tmath.de_heading(curr_root_quat), qpos[..., 7:]], axis=-1
+        )
+        diff_rot = tmath.quat_mul(target_root_quat, tmath.quat_inv(curr_root_quat))
+        diff_qpos = jnp.concatenate(
+            [target_qpos[..., :2],
+             target_qpos[..., 2:3] - qpos_dh[..., 2:3],
+             diff_rot,
+             target_qpos[..., 7:] - qpos_dh[..., 7:]], axis=-1
+        )
+
+        obs = [hq, target_qpos[..., 2:], qpos_dh[..., 2:], diff_qpos[..., 2:]]
+
+        # velocity (the reference double-transforms the linear part)
+        lin2 = tmath.transform_vec(lin, curr_root_quat, cfg.obs_coord)
+        vel = jnp.concatenate([lin2, qvel[..., 3:]], axis=-1)
+        obs.append(vel if cfg.obs_vel == "full" else vel[..., :6])
+
+        rel_h = tmath.wrap_to_pi(tmath.heading(target_root_quat) - tmath.heading(curr_root_quat))
+        obs.append(rel_h[..., None])
+
+        # reference quirk: 'rel_pos' built from quat components (w, x) - xy pos
+        rel_pos = target_root_quat[..., :3] - qpos[..., :3]
+        rel_pos = tmath.transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+        obs.append(rel_pos[..., :2])
+
+        curr_jpos = fk_res.xpos
+        r_jpos = curr_jpos - qpos[..., None, :3]
+        r_jpos = tmath.transform_vec(r_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
+        obs.append(r_jpos.reshape(qpos.shape[:-1] + (-1,)))
+
+        target_jpos = tgt.wbpos.reshape(tgt.wbpos.shape[:-1] + (-1,)).reshape(qpos.shape[:-1] + (24, 3))
+        diff_jpos = target_jpos - curr_jpos
+        diff_jpos = tmath.transform_vec(diff_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
+        obs.append(diff_jpos.reshape(qpos.shape[:-1] + (-1,)))
+
+        if include_com:
+            curr_com = fk_res.xipos
+            r_com = curr_com - qpos[..., None, :3]
+            r_com = tmath.transform_vec(r_com, curr_root_quat[..., None, :], cfg.obs_coord)
+            obs.append(r_com.reshape(qpos.shape[:-1] + (-1,)))
+            target_com = tgt.body_com.reshape(qpos.shape[:-1] + (24, 3))
+            diff_com = target_com - curr_com
+            diff_com = tmath.transform_vec(diff_com, curr_root_quat[..., None, :], cfg.obs_coord)
+            obs.append(diff_com.reshape(qpos.shape[:-1] + (-1,)))
+
+        cur_quat = fk_res.xquat
+        r_quat = tmath.quat_mul(tmath.quat_inv(hq)[..., None, :], cur_quat)
+        obs.append(r_quat.reshape(qpos.shape[:-1] + (-1,)))
+
+        target_quat = tgt.wbquat.reshape(qpos.shape[:-1] + (24, 4))
+        rel_quat = tmath.quat_mul(tmath.quat_inv(cur_quat), target_quat)
+        obs.append(rel_quat.reshape(qpos.shape[:-1] + (-1,)))
+
+        return jnp.concatenate(obs, axis=-1)
+
+    # -- reward (world_rfc_implicit) ----------------------------------------
+
+    def reward(self, state: EnvState, next_sim: eng.SimState, action,
+               fk_res: fklib.FKResult):
+        cfg = self.cfg
+        spec = self.model.spec
+        e = self.expert_frame(state)  # reward indexes expert at cur_t (post-increment)
+        dt = self.model.control_dt
+
+        cur_ee = exlib.ee_world(spec, fk_res, self.ee_idx)
+        cur_bquat = fklib.body_quat_sim(spec, next_sim.qpos)
+        cur_bangvel = tmath.angvel_fd(state.prev_bquat, cur_bquat, dt)
+        cur_com = fklib.com(spec, fk_res)
+
+        pose_diff = tmath.multi_quat_norm(tmath.multi_quat_diff(cur_bquat, e.bquat))
+        pose_diff = pose_diff.at[..., 1:].multiply(self.b_diffw)
+        pose_dist = jnp.linalg.norm(pose_diff, axis=-1)
+        pose_reward = jnp.exp(-cfg.k_p * pose_dist**2)
+
+        vel_dist = jnp.linalg.norm(cur_bangvel - e.bangvel, ord=cfg.v_ord, axis=-1)
+        vel_reward = jnp.exp(-cfg.k_v * vel_dist**2)
+
+        ee_dist = jnp.linalg.norm(cur_ee - e.ee_wpos, axis=-1)
+        ee_reward = jnp.exp(-cfg.k_e * ee_dist**2)
+
+        com_dist = jnp.linalg.norm(cur_com - e.com, axis=-1)
+        com_reward = jnp.exp(-cfg.k_c * com_dist**2)
+
+        vf = action[..., 69:69 + self.vf_dim]
+        vf_reward = jnp.exp(-cfg.k_vf * jnp.sum(vf * vf, axis=-1))
+
+        w_sum = cfg.w_p + cfg.w_v + cfg.w_e + cfg.w_c + cfg.w_vf
+        reward = (cfg.w_p * pose_reward + cfg.w_v * vel_reward + cfg.w_e * ee_reward
+                  + cfg.w_c * com_reward + cfg.w_vf * vf_reward) / w_sum
+        info = jnp.stack([pose_reward, vel_reward, ee_reward, com_reward, vf_reward], axis=-1)
+        return reward, info
+
+    # -- termination ---------------------------------------------------------
+
+    def calc_body_diff(self, state: EnvState, fk_res: fklib.FKResult):
+        e = self.expert_frame(state)
+        cur = fk_res.xpos
+        ref = e.wbpos.reshape(cur.shape[:-2] + (24, 3))
+        diff = (cur - ref) * self.jpos_diffw[:, None]
+        return jnp.linalg.norm(diff, axis=-1).mean(axis=-1)
+
+    # -- step / reset ---------------------------------------------------------
+
+    def step(self, state: EnvState, action: jax.Array):
+        cfg = self.cfg
+        spec = self.model.spec
+
+        tgt = self.expert_frame(state, delta_t=1)
+        next_sim = eng.control_step(self.model, state.sim, action,
+                                    tgt.qpos[..., 7:], self.base_rot)
+        fk_res = fklib.fk(spec, next_sim.qpos)
+
+        new_t = state.cur_t + 1
+        mid = state._replace(sim=next_sim, cur_t=new_t)
+
+        reward, rinfo = self.reward(state._replace(cur_t=new_t, sim=next_sim),
+                                    next_sim, action, fk_res)
+
+        clip = self.expert(state)
+        if cfg.env_term_body == "body":
+            body_diff = self.calc_body_diff(mid, fk_res)
+            fail = body_diff > cfg.body_diff_thresh
+        elif cfg.env_term_body == "Head":
+            head_z = fk_res.xpos[..., self.head_idx, 2]
+            fail = head_z < clip.head_height_lb - 0.1
+        else:
+            fail = next_sim.qpos[..., 2] < clip.height_lb - 0.1
+
+        end = (new_t >= cfg.env_episode_len) | (
+            new_t + state.start_ind >= clip.length + cfg.env_expert_trail_steps
+        )
+        done = fail | end
+        percent = new_t.astype(next_sim.qpos.dtype) / clip.length.astype(next_sim.qpos.dtype)
+
+        new_bquat = fklib.body_quat_sim(spec, next_sim.qpos)
+        new_state = mid._replace(prev_bquat=new_bquat, done=done, fail=fail)
+        obs = self.get_obs(new_state, fk_res)
+        info = dict(fail=fail, end=end, percent=percent, reward_info=rinfo)
+        return new_state, obs, reward, done, info
+
+    def reset(self, rng: jax.Array, clip_idx: jax.Array, start_ind=0):
+        cfg = self.cfg
+        clip = exlib.index_clip(self.bank, clip_idx)
+        f0 = exlib.frame(clip, jnp.asarray(start_ind, jnp.int32))
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+
+        init_qpos = f0.qpos
+        init_qvel = f0.qvel
+        if cfg.env_init_noise > 0:
+            noise = cfg.env_init_noise * jax.random.normal(k1, init_qpos[..., 7:].shape,
+                                                           init_qpos.dtype)
+            init_qpos = init_qpos.at[..., 7:].add(noise)
+
+        if cfg.reactive_v == 1 and self.mode == "train":
+            # with prob reactive_rate start from neutral standing matched to
+            # the expert's heading/xy (humanoid_im.py:586-599)
+            use_neutral = jax.random.bernoulli(k2, cfg.reactive_rate)
+            neutral = self.match_heading_and_pos(init_qpos, self.neutral_qpos.astype(init_qpos.dtype))
+            init_qpos = jnp.where(use_neutral, neutral, init_qpos)
+            init_qvel = jnp.where(use_neutral, self.neutral_qvel.astype(init_qvel.dtype), init_qvel)
+
+        sim = eng.SimState(qpos=init_qpos, qvel=init_qvel)
+        state = EnvState(
+            sim=sim,
+            cur_t=jnp.asarray(0, jnp.int32),
+            start_ind=jnp.asarray(start_ind, jnp.int32),
+            prev_bquat=fklib.body_quat_sim(self.model.spec, init_qpos),
+            clip_idx=jnp.asarray(clip_idx, jnp.int32),
+            done=jnp.asarray(False),
+            fail=jnp.asarray(False),
+            rng=k3,
+        )
+        return state, self.get_obs(state)
+
+    def match_heading_and_pos(self, qpos_1, qpos_2):
+        """Graft qpos_1's xy position + heading onto pose qpos_2
+        (humanoid_im.py:636-644)."""
+        q1 = self.remove_base_rot(qpos_1[..., 3:7])
+        heading_1 = tmath.heading_q(q1)
+        new_rot = tmath.quat_mul(heading_1, tmath.de_heading(qpos_2[..., 3:7]))
+        return jnp.concatenate(
+            [qpos_1[..., :2], qpos_2[..., 2:3], new_rot, qpos_2[..., 7:]], axis=-1
+        )
+
+    def fail_safe(self, state: EnvState) -> EnvState:
+        """Teleport the sim to the expert pose (humanoid_im.py:235)."""
+        f = self.expert_frame(state)
+        return state._replace(sim=eng.SimState(qpos=f.qpos, qvel=f.qvel))

@@ -121,10 +121,11 @@ def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -
     mask = anc.T[cs.body]                                # (..., K, nv)
 
     omega, v0 = phi[..., :3], phi[..., 3:]               # (..., nv, 3)
-    # point velocity contribution per dof: v0 + omega x p
-    p = cs.pos[..., None, :]                             # (..., K, 1, 3)
-    vel = v0[..., None, :, :] + jnp.cross(omega[..., None, :, :], jnp.broadcast_to(p, omega[..., None, :, :].shape[:-2] + (omega.shape[-2], 3)))
-    # (..., K, nv, 3)
+    # velocity of the contact point per dof: v0 + omega x p
+    omega_b = omega[..., None, :, :]                     # (..., 1, nv, 3)
+    v0_b = v0[..., None, :, :]
+    p_b = cs.pos[..., :, None, :]                        # (..., K, 1, 3)
+    vel = v0_b + jnp.cross(omega_b, p_b)                 # (..., K, nv, 3)
 
     n = cs.normal
     # tangent frame
@@ -141,6 +142,25 @@ def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -
     # layout: (..., K, 3, nv) -> (..., 3K, nv)
     J = jnp.stack([jn, jt1, jt2], axis=-2)
     return J.reshape(J.shape[:-3] + (J.shape[-3] * 3, J.shape[-1]))
+
+
+def _inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form (adjugate) batched 3x3 inverse — avoids TPU LU lowering
+    and is faster for tiny blocks."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    adj = jnp.stack([
+        A, -(b * i - c * h), b * f - c * e,
+        B, a * i - c * g, -(a * f - c * d),
+        C, -(a * h - b * g), a * e - b * d,
+    ], axis=-1).reshape(m.shape)
+    return adj * inv_det[..., None, None]
 
 
 def impedance(depth: jax.Array, solimp=SOLIMP) -> jax.Array:
@@ -179,33 +199,47 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
     aref_t = -b_coef * vel3[..., 1:] * 0.0               # tangential: pure friction, no spring
     aref = jnp.concatenate([aref_n[..., None], aref_t], axis=-1).reshape(vel_c.shape)
 
-    # residual: we want J qacc ~ aref => A f = aref - J qacc_smooth
+    # residual: we want J qacc ~ aref => (A + R) f = aref - J qacc_smooth
     rhs = aref - jnp.einsum("...cv,...v->...c", J, qacc_smooth)
 
     diagA = jnp.diagonal(A, axis1=-2, axis2=-1)
     d_rows = jnp.repeat(d, 3, axis=-1)
     R = (1.0 - d_rows) / jnp.maximum(d_rows, 1e-6) * jnp.maximum(diagA, 1e-8)
     R = jnp.where(jnp.repeat(active, 3, axis=-1), R, 1e8)   # kill inactive rows
-    A_reg = A + jnp.zeros_like(A).at[..., jnp.arange(R.shape[-1]), jnp.arange(R.shape[-1])].set(0.0)
 
-    inv_diag = 1.0 / (diagA + R)
+    # 3x3 diagonal blocks (with regularisation) and their explicit inverses
+    A3 = A.reshape(A.shape[:-2] + (nK, 3, nK, 3))
+    D = jnp.moveaxis(jnp.diagonal(A3, axis1=-4, axis2=-2), -1, -3)  # (..., nK, 3, 3)
+    R3 = R.reshape(R.shape[:-1] + (nK, 3))
+    eye3 = jnp.eye(3, dtype=A.dtype)
+    D = D + R3[..., None] * eye3 + 1e-9 * eye3
+    Dinv = _inv3x3(D)
 
-    mu = friction
-
-    def body(_, f):
-        # one Jacobi-style sweep (batched; Jacobi is TPU-friendlier than
-        # strict Gauss-Seidel and converges fine with 30 iterations @ 450 Hz)
-        resid = rhs - jnp.einsum("...ij,...j->...i", A, f) - R * f
-        f_new = f + 0.7 * inv_diag * resid
-        f3 = f_new.reshape(f_new.shape[:-1] + (nK, 3))
+    def project(f3, mu_k):
+        """Euclidean projection onto the friction cone; f3 (..., 3), mu (...,)."""
         fn = jnp.maximum(f3[..., 0], 0.0)
         ft = f3[..., 1:]
         ft_norm = jnp.linalg.norm(ft, axis=-1, keepdims=True).clip(1e-12)
-        scale = jnp.minimum(1.0, (mu * fn)[..., None] / ft_norm)
-        f3 = jnp.concatenate([fn[..., None], ft * scale], axis=-1)
-        f3 = f3 * active[..., None]
-        return f3.reshape(f_new.shape)
+        scale = jnp.minimum(1.0, (mu_k * fn)[..., None] / ft_norm)
+        return jnp.concatenate([fn[..., None], ft * scale], axis=-1)
+
+    def gs_block(k, f):
+        # block projected Gauss-Seidel update of contact k (PSOR: convergent
+        # for the SPD regularised QP); sequential over K blocks per sweep
+        Ak = jax.lax.dynamic_slice_in_dim(A, 3 * k, 3, axis=-2)   # (..., 3, 3K)
+        fk = jax.lax.dynamic_slice_in_dim(f, 3 * k, 3, axis=-1)
+        rk = jax.lax.dynamic_slice_in_dim(rhs, 3 * k, 3, axis=-1)
+        Rk = jax.lax.dynamic_slice_in_dim(R, 3 * k, 3, axis=-1)
+        res = rk - jnp.einsum("...ic,...c->...i", Ak, f) - Rk * fk
+        Dk = jax.lax.dynamic_index_in_dim(Dinv, k, axis=-3, keepdims=False)
+        mu_k = jax.lax.dynamic_index_in_dim(friction, k, axis=-1, keepdims=False)
+        fk_new = project(fk + jnp.einsum("...ij,...j->...i", Dk, res), mu_k)
+        fk_new = fk_new * jax.lax.dynamic_index_in_dim(active, k, axis=-1, keepdims=True)
+        return jax.lax.dynamic_update_slice_in_dim(f, fk_new, 3 * k, axis=-1)
+
+    def sweep(_, f):
+        return jax.lax.fori_loop(0, nK, gs_block, f)
 
     f0 = jnp.zeros_like(rhs)
-    f = jax.lax.fori_loop(0, iters, body, f0)
+    f = jax.lax.fori_loop(0, iters, sweep, f0)
     return jnp.einsum("...cv,...c->...v", J, f)

@@ -1,0 +1,214 @@
+"""The batched humanoid simulation engine: stable-PD control + residual
+force control + soft contacts + semi-implicit Euler, all inside one jitted
+`lax.scan` over substeps.
+
+Replaces the reference hot loop (``uhc/envs/humanoid_im.py:506-533``:
+15 x [compute_torque -> scipy cho_solve -> RFC -> MuJoCo C step] per control
+step) with a pure jnp function of (state, action) that vmaps over thousands
+of humanoids on a TPU chip.
+
+Control math (kept numerically identical to the reference, which is the
+behavioural contract for reusing its trained policies / hyperparameters):
+
+  target_pos = expert_kin_pose + a_scale * ctrl[:69]        (action_v=1)
+  qpos_err   = (qpos[7:] + qvel[6:]*dt) - target_pos        (0s for root)
+  q_accel    = (M + K_d dt)^-1 (-C - K_p qpos_err - K_d qvel)
+  tau        = -k_p qpos_err[6:] - k_d (qvel + q_accel dt)[6:],  clipped
+  RFC        : qfrc_applied[:6] = clip(scale * vf, ±lim), linear part
+               heading-rotated (``humanoid_im.py:497-504``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kinpoly_tpu.core import tmath
+from kinpoly_tpu.physics import contact as ct
+from kinpoly_tpu.physics import dynamics as dyn
+from kinpoly_tpu.physics import fk as fklib
+
+
+class SimState(NamedTuple):
+    qpos: jax.Array   # (..., 76)
+    qvel: jax.Array   # (..., 75)
+
+
+@dataclass(frozen=True)
+class ControlParams:
+    """Per-joint PD table (from config joint_params, uhc.yml:86-156)."""
+    jkp: np.ndarray          # (69,)
+    jkd: np.ndarray          # (69,)
+    a_ref: np.ndarray        # (69,) base pose for action_v=0
+    a_scale: np.ndarray      # (69,)
+    torque_lim: np.ndarray   # (69,)
+    rfc_scale: float = 100.0
+    rfc_lim: float = float("inf")
+    action_v: int = 1
+    meta_pd: bool = False
+
+
+@dataclass(frozen=True)
+class PhysicsModel:
+    """Static bundle: spec + dynamics tables + contact candidates."""
+    spec: object
+    tables: dyn.DynamicsTables
+    ctrl: ControlParams
+    cand_verts: np.ndarray    # (N, 3) body-local contact candidate verts
+    cand_body: np.ndarray     # (N,)
+    n_substeps: int = 15
+    contact_top_k: int = 12
+    contact_iters: int = 20
+    friction: float = 1.0
+
+    @property
+    def dt(self) -> float:
+        return self.spec.timestep
+
+    @property
+    def control_dt(self) -> float:
+        return self.spec.timestep * self.n_substeps
+
+
+def build_model(spec, ctrl: ControlParams, **kw) -> PhysicsModel:
+    cand_verts, cand_body = ct.select_contact_vertices(
+        spec, per_body=ct.FOOT_BODIES, default_k=4
+    )
+    return PhysicsModel(
+        spec=spec, tables=dyn.build_tables(spec), ctrl=ctrl,
+        cand_verts=cand_verts, cand_body=cand_body, **kw,
+    )
+
+
+def compute_torque(model: PhysicsModel, qpos, qvel, ctrl_joint, base_pos,
+                   M, C, jkp=None, jkd=None):
+    """Stable-PD torque, one substep (reference ``compute_torque``:433)."""
+    dt = model.dt
+    dtype = qpos.dtype
+    jkp = jnp.asarray(model.ctrl.jkp, dtype) if jkp is None else jkp
+    jkd = jnp.asarray(model.ctrl.jkd, dtype) if jkd is None else jkd
+
+    # wrap target into +-pi of current joint angles (humanoid_im.py:441-445)
+    base_pos = tmath.normalize_angle_diff(base_pos, qpos[..., 7:])
+    target_pos = base_pos + ctrl_joint
+
+    zeros6 = jnp.zeros(qpos.shape[:-1] + (6,), dtype)
+    qpos_err = jnp.concatenate(
+        [zeros6, qpos[..., 7:] + qvel[..., 6:] * dt - target_pos], axis=-1
+    )
+    k_p = jnp.concatenate([zeros6, jkp], axis=-1)
+    k_d = jnp.concatenate([zeros6, jkd], axis=-1)
+
+    rhs = -C - k_p * qpos_err - k_d * qvel
+    A = M + (k_d * dt)[..., None, :] * jnp.eye(M.shape[-1], dtype=dtype)
+    q_accel = dyn.chol_solve(A, rhs)
+    qvel_err = qvel + q_accel * dt
+    torque = -jkp * qpos_err[..., 6:] - jkd * qvel_err[..., 6:]
+    lim = jnp.asarray(model.ctrl.torque_lim, dtype)
+    return jnp.clip(torque, -lim, lim)
+
+
+def rfc_implicit(model: PhysicsModel, qpos, vf, base_rot):
+    """Residual root wrench (reference ``rfc_implicit``:497): 6-vector of
+    generalized forces on the free-joint dofs; linear part heading-rotated."""
+    vf = vf * model.ctrl.rfc_scale
+    root_q = tmath.quat_mul(qpos[..., 3:7], tmath.quat_conj(base_rot))
+    hq = tmath.heading_q(root_q)
+    lin = tmath.quat_rot_vec(hq, vf[..., :3])
+    vf = jnp.concatenate([lin, vf[..., 3:6]], axis=-1)
+    return jnp.clip(vf, -model.ctrl.rfc_lim, model.ctrl.rfc_lim)
+
+
+def integrate(qpos, qvel, dt):
+    """Semi-implicit Euler position update (MuJoCo mj_integratePos):
+    free-joint quat integrated with body-local angular velocity."""
+    pos = qpos[..., :3] + qvel[..., :3] * dt
+    quat = tmath.quat_norm(
+        tmath.quat_mul(qpos[..., 3:7], tmath.quat_from_expmap(qvel[..., 3:6] * dt))
+    )
+    hinge = qpos[..., 7:] + qvel[..., 6:] * dt
+    return jnp.concatenate([pos, quat, hinge], axis=-1)
+
+
+def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
+            base_rot, jkp=None, jkd=None, with_contacts: bool = True) -> SimState:
+    """One 450 Hz physics substep with PD control."""
+    spec, tables = model.spec, model.tables
+    qpos, qvel = state.qpos, state.qvel
+    dtype = qpos.dtype
+
+    ks = dyn.kin_state(spec, tables, qpos)
+    M = dyn.mass_matrix(spec, tables, ks)
+    C = dyn.bias_force(spec, tables, ks, qvel)
+
+    torque = compute_torque(model, qpos, qvel, ctrl_joint, base_pos, M, C, jkp, jkd)
+    tau = jnp.concatenate(
+        [rfc_implicit(model, qpos, vf, base_rot), torque], axis=-1
+    )
+
+    L = jnp.linalg.cholesky(M)
+
+    def m_solve(rhs):
+        vec = rhs.ndim == M.ndim - 1
+        b = rhs[..., None] if vec else rhs
+        y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+        x = jax.scipy.linalg.solve_triangular(jnp.swapaxes(L, -1, -2), y, lower=False)
+        return x[..., 0] if vec else x
+
+    qacc = m_solve(tau - C)
+
+    if with_contacts:
+        cs = ct.floor_contacts(
+            spec, jnp.asarray(model.cand_verts, dtype), model.cand_body,
+            ks.fk_res.xpos, ks.fk_res.xquat, model.contact_top_k,
+            margin=spec.geom_margin, friction=model.friction,
+        )
+        J = ct.contact_jacobian(cs, ks.phi, tables.anc_dof_body)
+        qfrc_con = ct.solve_contacts(
+            m_solve, J, qacc, qvel, cs.depth, cs.active, cs.friction,
+            model.dt, iters=model.contact_iters,
+        )
+        qacc = qacc + m_solve(qfrc_con)
+
+    qvel_new = qvel + qacc * model.dt
+    qpos_new = integrate(qpos, qvel_new, model.dt)
+    return SimState(qpos=qpos_new, qvel=qvel_new)
+
+
+def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
+                 expert_kin_pose: jax.Array, base_rot: jax.Array,
+                 with_contacts: bool = True) -> SimState:
+    """One 30 Hz control step = n_substeps PD substeps with a fixed action
+    (reference ``do_simulation``:506). `action` layout: [69 joint ctrl,
+    6 rfc, (optional 2*15 meta-pd)]."""
+    c = model.ctrl
+    dtype = state.qpos.dtype
+    ctrl_joint = action[..., :69] * jnp.asarray(c.a_scale, dtype)
+    vf = action[..., 69:75]
+    if c.action_v == 1:
+        base_pos = expert_kin_pose
+    else:
+        base_pos = jnp.asarray(c.a_ref, dtype)
+
+    if c.meta_pd:
+        meta = action[..., 75:75 + 2 * model.n_substeps]
+
+        def body(s, i):
+            kp = jnp.asarray(c.jkp, dtype) * jnp.clip(meta[..., i, None] + 1, 0, 10)
+            kd = jnp.asarray(c.jkd, dtype) * jnp.clip(meta[..., i + model.n_substeps, None] + 1, 0, 10)
+            return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
+                           jkp=kp, jkd=kd, with_contacts=with_contacts), None
+
+        state, _ = jax.lax.scan(body, state, jnp.arange(model.n_substeps))
+        return state
+
+    def body(s, _):
+        return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
+                       with_contacts=with_contacts), None
+
+    state, _ = jax.lax.scan(body, state, None, length=model.n_substeps)
+    return state

@@ -17,6 +17,10 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the physics step graphs are large and CPU XLA is
+# slow to compile; cache across test runs
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np
 import pytest
