@@ -37,10 +37,16 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
-    """Shard leading batch dim over the mesh axis."""
+    """Shard leading batch dim over the mesh axis; leaves whose dim0 is not
+    divisible by the axis size (e.g. PRNG keys, scalars) are replicated."""
+    n = mesh.shape[axis]
+
     def put(x):
-        spec = P(axis) if getattr(x, "ndim", 0) >= 1 else P()
+        ndim = getattr(x, "ndim", 0)
+        divisible = ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0
+        spec = P(axis) if divisible else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
+
     return jax.tree.map(put, tree)
 
 
