@@ -19,10 +19,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# register a CPU backend next to the TPU one: all eager prep (expert clip
+# precompute, env construction) runs on CPU; only jitted programs touch the
+# TPU. Without this every tiny eager op is a tunnel round-trip.
+if "JAX_PLATFORMS" in os.environ and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+
 import jax
 import jax.numpy as jnp
 import joblib
 import numpy as np
+
+CPU = jax.local_devices(backend="cpu")[0]
 
 N_ENVS = int(os.environ.get("BENCH_N_ENVS", "2048"))
 N_STEPS = int(os.environ.get("BENCH_N_STEPS", "32"))
@@ -38,33 +46,41 @@ def build():
     from kinpoly_tpu.physics import engine as eng
     from kinpoly_tpu.rl import rollout as ro, running_norm as rn
 
-    spec = parse_humanoid(
-        "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml"
-    )
-    model = eng.build_model(spec, uhc_control_params(spec))
-    standing = joblib.load(STANDING)
-    qpos = np.asarray(standing["qpos"], dtype=np.float32)
+    with jax.default_device(CPU):
+        spec = parse_humanoid(
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml"
+        )
+        model = eng.build_model(spec, uhc_control_params(spec))
+        standing = joblib.load(STANDING)
+        qpos = np.asarray(standing["qpos"], dtype=np.float32)
 
-    rngn = np.random.RandomState(0)
-    T = 120
-    seq = np.repeat(qpos[None], T, axis=0)
-    seq[:, 7:] += np.cumsum(rngn.uniform(-0.005, 0.005, (T, 69)), axis=0).astype(np.float32)
-    clip = exlib.from_qpos(spec, seq, dt=model.control_dt, pad_to=128)
-    bank = exlib.stack_bank([clip, clip])
+        rngn = np.random.RandomState(0)
+        T = 120
+        seq = np.repeat(qpos[None], T, axis=0)
+        seq[:, 7:] += np.cumsum(rngn.uniform(-0.005, 0.005, (T, 69)), axis=0).astype(np.float32)
+        clip = exlib.from_qpos(spec, seq, dt=model.control_dt, pad_to=128)
+        bank = exlib.stack_bank([clip, clip])
 
-    env = HumanoidImEnv(
-        model, EnvConfig(env_episode_len=100000), bank,
-        standing["qpos"].astype(np.float32), standing["qvel"].astype(np.float32),
-    )
+        env = HumanoidImEnv(
+            model, EnvConfig(env_episode_len=100000), bank,
+            standing["qpos"].astype(np.float32), standing["qvel"].astype(np.float32),
+        )
 
-    policy = nets.PolicyMCP(action_dim=env.action_dim)
-    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 784), jnp.float32))
-    norm = rn.init(784)
+        policy = nets.PolicyMCP(action_dim=env.action_dim)
+        params = jax.jit(policy.init, backend="cpu")(
+            jax.random.PRNGKey(0), jnp.zeros((1, 784), jnp.float32))
+        params = jax.tree.map(np.asarray, params)
+        norm = rn.init(784)
+
     rollout = ro.make_rollout(env, policy.apply, N_STEPS, noise_rate=1.0)
-    probs = jnp.ones(2) / 2
-    carry = ro.init_rollout_state(env, jax.random.PRNGKey(1), N_ENVS, probs)
+    probs = np.ones(2, np.float32) / 2
 
-    fn = jax.jit(lambda c, p, n: rollout(c, p, n, probs)[0])
+    @jax.jit
+    def init_fn(rng):
+        return ro.init_rollout_state(env, rng, N_ENVS, jnp.asarray(probs))
+
+    carry = init_fn(jax.random.PRNGKey(1))
+    fn = jax.jit(lambda c, p, n: rollout(c, p, n, jnp.asarray(probs))[0])
     return fn, carry, params, norm, model
 
 
@@ -85,6 +101,7 @@ def main():
     substeps = control_steps * model.n_substeps
     sps = substeps / wall
     baseline_per_chip = 1_000_000 / 8.0
+    finite = bool(np.isfinite(np.asarray(jax.device_get(carry.obs))).all())
     print(json.dumps({
         "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
         "value": round(sps, 1),
@@ -93,6 +110,7 @@ def main():
         "detail": {
             "n_envs": N_ENVS,
             "rollout_steps": N_STEPS,
+            "obs_finite": finite,
             "control_steps_per_sec": round(control_steps / wall, 1),
             "wall_per_iter_s": round(wall, 3),
             "device": str(jax.devices()[0]),

@@ -1,0 +1,311 @@
+"""Kinematic-policy environment (humanoid_ar) — pure functional.
+
+Port of ``kin_poly/envs/humanoid_ar_v1.py``: the action is the next-frame
+kinematic pose proposal (80-d, policy_v=1); the env integrates it
+(``step_ar``:216), forms the tracking target via FK, runs the *frozen UHC
+controller in-loop* (cc policy apply -> stable-PD -> physics), and rewards
+with ``dynamic_supervision_v1`` (``kin_poly/core/reward_function.py:931``).
+
+TPU-native restructuring: the UHC policy is just another pure apply inside
+the jitted step (the reference crosses a process + C boundary per substep);
+contexts are precomputed per-window batches; everything vmaps over envs.
+
+Round-1 simplification (documented): interactable objects are static scene
+geometry — their poses come from the context and they do not yet receive
+forces back (the reference's chair/table are quasi-static too: mass 1e5 /
+500; the dynamic 'push' box is the one behavior this defers).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kinpoly_tpu.core import tmath
+from kinpoly_tpu.envs.humanoid_im import EnvConfig, TargetFrame, full_obs
+from kinpoly_tpu.models import nets
+from kinpoly_tpu.models.traj_ar import TrajARConfig, ar_obs, step_ar
+from kinpoly_tpu.physics import engine as eng
+from kinpoly_tpu.physics import fk as fklib
+
+
+@dataclass(frozen=True)
+class ARRewardWeights:
+    """dynamic_supervision_v1 weights (config/statear/kin_poly.yml:73-86)."""
+    w_hp: float = 0.15
+    w_hq: float = 0.15
+    w_p: float = 0.2
+    w_jp: float = 0.2
+    w_act_p: float = 0.2
+    w_act_v: float = 0.1
+    k_hp: float = 45.0
+    k_hq: float = 45.0
+    k_p: float = 50.0
+    k_jp: float = 50.0
+    k_act_p: float = 5.0
+    k_act_v: float = 0.005
+    v_ord: int = 2
+
+
+class ARContext(NamedTuple):
+    """Per-window context bank (N, T, ...): ground truth + AR-net rollout."""
+    qpos: jax.Array          # GT (N, T, 76)
+    qvel: jax.Array
+    bquat: jax.Array         # GT sim-frame body quats (N, T, 96)
+    gt_wbpos: jax.Array      # FK of GT qpos (N, T, 72)
+    head_pose: jax.Array     # (N, T, 7)
+    head_vels: jax.Array     # (N, T, 6)
+    obj_pose: jax.Array      # (N, T, 7)
+    obj_head_relative_poses: jax.Array  # (N, T, 7)
+    action_one_hot: jax.Array           # (N, T, 4)
+    ar_qpos: jax.Array       # ARNet rollout (N, T, 76), smoothed
+    ar_qvel: jax.Array
+    ar_wbpos: jax.Array
+    init_qpos: jax.Array     # (N, 76)
+    init_qvel: jax.Array     # (N, 75)
+    length: jax.Array        # (N,) int32 (episode len = frames - 1)
+
+
+class AREnvState(NamedTuple):
+    sim: eng.SimState
+    cur_t: jax.Array
+    prev_bquat: jax.Array     # (96,)
+    prev_hpos: jax.Array      # (7,) previous head pose
+    target_qpos: jax.Array    # (76,) current AR target
+    clip_idx: jax.Array
+    done: jax.Array
+    fail: jax.Array
+    rng: jax.Array
+
+
+def multi_quat_norm_v2(nq: jax.Array) -> jax.Array:
+    """Per-joint norm of (|w|-1, x, y, z) (uhc/utils/math_utils.py:111)."""
+    q = nq.reshape(nq.shape[:-1] + (-1, 4))
+    d = jnp.concatenate([jnp.abs(q[..., :1]) - 1.0, q[..., 1:]], axis=-1)
+    return jnp.linalg.norm(d, axis=-1)
+
+
+class HumanoidAREnv:
+    """Stateless namespace bound to (physics model, configs, frozen UHC
+    policy params + obs-norm, context bank)."""
+
+    def __init__(self, model: eng.PhysicsModel, kin_cfg: TrajARConfig,
+                 cc_cfg: EnvConfig, reward_w: ARRewardWeights,
+                 context: ARContext,
+                 cc_policy_apply, cc_policy_params, cc_norm,
+                 mode: str = "train", wild: bool = False,
+                 cc_log_std: float = -2.3,
+                 body_diff_thresh: float = 10.0,
+                 body_diff_gt_thresh: float = 12.0,
+                 env_episode_len: int = 100000):
+        self.model = model
+        self.kin_cfg = kin_cfg
+        self.cc_cfg = cc_cfg
+        self.rw = reward_w
+        self.ctx = context
+        self.cc_policy_apply = cc_policy_apply
+        self.cc_policy_params = cc_policy_params
+        self.cc_norm = cc_norm
+        self.cc_log_std = cc_log_std
+        self.mode = mode
+        self.wild = wild
+        self.body_diff_thresh = body_diff_thresh
+        self.body_diff_gt_thresh = body_diff_gt_thresh
+        self.env_episode_len = env_episode_len
+        self.base_rot = jnp.asarray(cc_cfg.base_rot)
+        spec = model.spec
+        self.head_idx = spec.body_index("Head")
+        from kinpoly_tpu.config.defaults import body_diff_weights
+        self.jpos_diffw = jnp.asarray(body_diff_weights(spec))
+        self.action_dim = kin_cfg.action_dim  # 80 (policy_v=1)
+
+    # -- context access ------------------------------------------------------
+    # The context bank is refreshed every training epoch (new windows + new
+    # AR rollouts), so it flows through step/reset as an explicit argument —
+    # a jit closure would bake it in as a compile-time constant. `ctx=None`
+    # falls back to the bank given at construction (tests, eval).
+
+    def _ctx(self, ctx):
+        return self.ctx if ctx is None else ctx
+
+    def clip(self, state: AREnvState, ctx=None) -> ARContext:
+        return jax.tree.map(lambda x: x[state.clip_idx], self._ctx(ctx))
+
+    # -- observation (get_ar_obs_v1, humanoid_ar_v1.py:133) ------------------
+
+    def get_obs(self, state: AREnvState, ctx=None):
+        c = self.clip(state, ctx)
+        t = jnp.minimum(state.cur_t, c.qpos.shape[0] - 1)
+        obs, _ = ar_obs(
+            self.model.spec, self.kin_cfg,
+            state.sim.qpos, state.sim.qvel,
+            c.head_pose[t], c.head_vels[t], c.obj_pose[t],
+            c.obj_head_relative_poses[t], c.action_one_hot[0],
+            as_policy=True, noise=None,
+        )
+        return obs
+
+    # -- cc controller in-loop ------------------------------------------------
+
+    def target_frame(self, next_qpos: jax.Array):
+        fk_res = fklib.fk(self.model.spec, next_qpos)
+        shape = next_qpos.shape[:-1]
+        return TargetFrame(
+            qpos=next_qpos,
+            wbpos=fk_res.xpos.reshape(shape + (-1,)),
+            body_com=fk_res.xipos.reshape(shape + (-1,)),
+            wbquat=fk_res.xquat.reshape(shape + (-1,)),
+        ), fk_res
+
+    def cc_obs(self, sim: eng.SimState, target: TargetFrame):
+        fk_res = fklib.fk(self.model.spec, sim.qpos)
+        obs = full_obs(self.cc_cfg, self.base_rot, sim, fk_res, target,
+                       include_com=(self.cc_cfg.obs_v == 1))
+        from kinpoly_tpu.rl import running_norm as rn
+        return rn.apply(self.cc_norm, obs)
+
+    # -- step -----------------------------------------------------------------
+
+    def step(self, state: AREnvState, a: jax.Array, ctx=None):
+        spec = self.model.spec
+        rng, k_cc = jax.random.split(state.rng)
+
+        prev_sim = state.sim
+        prev_bquat = state.prev_bquat
+        prev_hpos = state.prev_hpos
+
+        next_qpos = step_ar(prev_sim.qpos, a, self.kin_cfg)
+        target, tgt_fk = self.target_frame(next_qpos)
+        tgt_bquat = fklib.body_quat_sim(spec, next_qpos)
+
+        cc_obs = self.cc_obs(prev_sim, target)
+        cc_mean, cc_log_std = self.cc_policy_apply(self.cc_policy_params,
+                                                   cc_obs)
+        mean_action = self.mode == "test"
+        if mean_action:
+            cc_action = cc_mean
+        else:
+            cc_action = cc_mean + jnp.exp(cc_log_std) * jax.random.normal(
+                k_cc, cc_mean.shape, cc_mean.dtype)
+
+        sim = eng.control_step(self.model, prev_sim, cc_action,
+                               next_qpos[..., 7:], self.base_rot)
+
+        new_t = state.cur_t + 1
+        c = self.clip(state, ctx)
+        fk_cur = fklib.fk(spec, sim.qpos)
+        cur_bquat = fklib.body_quat_sim(spec, sim.qpos)
+        cur_wbpos = fk_cur.xpos
+
+        reward, rinfo = self._reward(
+            state, sim, fk_cur, cur_bquat, prev_bquat, prev_hpos,
+            tgt_bquat, target, c, new_t)
+
+        # termination (humanoid_ar_v1.py:295-308): sum-norm body diff
+        diff = (cur_wbpos - target.wbpos.reshape(cur_wbpos.shape)) * self.jpos_diffw[:, None]
+        body_diff = jnp.linalg.norm(diff, axis=-1).sum(axis=-1)
+        fail = body_diff > self.body_diff_thresh
+        if self.mode == "train" and not self.wild:
+            t_idx = jnp.minimum(new_t, c.qpos.shape[0] - 1)
+            gt_wb = c.gt_wbpos[t_idx].reshape(cur_wbpos.shape)
+            gt_diff = jnp.linalg.norm(
+                (cur_wbpos - gt_wb) * self.jpos_diffw[:, None], axis=-1).sum(axis=-1)
+            fail = fail | (gt_diff > self.body_diff_gt_thresh)
+
+        end = (new_t >= self.env_episode_len) | (new_t >= c.length)
+        done = fail | end
+        percent = new_t.astype(sim.qpos.dtype) / c.length.astype(sim.qpos.dtype)
+
+        new_state = state._replace(
+            sim=sim, cur_t=new_t, prev_bquat=cur_bquat,
+            prev_hpos=self._head_pose(fk_cur), target_qpos=next_qpos,
+            done=done, fail=fail, rng=rng)
+        obs = self.get_obs(new_state, ctx)
+        info = dict(fail=fail, end=end, percent=percent,
+                    cc_action=cc_action, cc_state=cc_obs, reward_info=rinfo)
+        return new_state, obs, reward, done, info
+
+    def _head_pose(self, fk_res: fklib.FKResult):
+        return jnp.concatenate(
+            [fk_res.xpos[..., self.head_idx, :], fk_res.xquat[..., self.head_idx, :]],
+            axis=-1)
+
+    # -- reward dynamic_supervision_v1 (reward_function.py:931-996) ----------
+
+    def _reward(self, state, sim, fk_cur, cur_bquat, prev_bquat, prev_hpos,
+                tgt_bquat, target: TargetFrame, c: ARContext, new_t):
+        rw = self.rw
+        dt = self.model.control_dt
+        ind = jnp.minimum(new_t, c.qpos.shape[0] - 1)
+
+        tgt_hpose = c.head_pose[ind]
+        cur_hpose = self._head_pose(fk_cur)
+
+        hp_dist = jnp.linalg.norm(cur_hpose[..., :3] - tgt_hpose[..., :3], axis=-1)
+        hp_reward = jnp.exp(-rw.k_hp * hp_dist**2)
+
+        hq_dist = multi_quat_norm_v2(
+            tmath.quat_mul(cur_hpose[..., 3:], tmath.quat_inv(tgt_hpose[..., 3:]))
+        ).mean(axis=-1)
+        hq_reward = jnp.exp(-rw.k_hq * hq_dist**2)
+
+        pose_quat_diff = multi_quat_norm_v2(
+            tmath.multi_quat_diff(cur_bquat, tgt_bquat)).mean(axis=-1)
+        cur_wbpos = fk_cur.xpos
+        pose_pos_diff = jnp.linalg.norm(
+            cur_wbpos - target.wbpos.reshape(cur_wbpos.shape), axis=-1).mean(axis=-1)
+        p_reward = jnp.exp(-rw.k_p * pose_quat_diff**2)
+        jp_reward = jnp.exp(-rw.k_jp * pose_pos_diff**2)
+
+        gt_bquat = c.bquat[ind]
+        gt_prev_bquat = c.bquat[jnp.maximum(ind - 1, 0)]
+        pose_gt_diff = multi_quat_norm_v2(
+            tmath.multi_quat_diff(gt_bquat, cur_bquat)).mean(axis=-1)
+        gt_p_reward = jnp.exp(-rw.k_act_p * pose_gt_diff)
+
+        cur_bangvel = tmath.angvel_fd(prev_bquat, cur_bquat, dt)
+        tgt_bangvel = tmath.angvel_fd(gt_prev_bquat, gt_bquat, dt)
+        vel_dist = jnp.linalg.norm(cur_bangvel - tgt_bangvel, ord=rw.v_ord, axis=-1)
+        act_v_reward = jnp.exp(-rw.k_act_v * vel_dist**2)
+
+        reward = (rw.w_hp * hp_reward + rw.w_hq * hq_reward + rw.w_p * p_reward
+                  + rw.w_jp * jp_reward + rw.w_act_p * gt_p_reward
+                  + rw.w_act_v * act_v_reward)
+        info = jnp.stack([hp_reward, hq_reward, p_reward, jp_reward,
+                          gt_p_reward, act_v_reward], axis=-1)
+        return reward, info
+
+    # -- reset / fail-safe ----------------------------------------------------
+
+    def reset(self, rng: jax.Array, clip_idx: jax.Array, ctx=None,
+              ar_mode: bool = False):
+        c = jax.tree.map(lambda x: x[clip_idx], self._ctx(ctx))
+        if ar_mode:
+            qpos0, qvel0 = c.ar_qpos[0], c.ar_qvel[0]
+        else:
+            qpos0, qvel0 = c.init_qpos, c.init_qvel
+        sim = eng.SimState(qpos=qpos0, qvel=qvel0)
+        fk0 = fklib.fk(self.model.spec, qpos0)
+        state = AREnvState(
+            sim=sim,
+            cur_t=jnp.asarray(0, jnp.int32),
+            prev_bquat=fklib.body_quat_sim(self.model.spec, qpos0),
+            prev_hpos=self._head_pose(fk0),
+            target_qpos=qpos0,
+            clip_idx=jnp.asarray(clip_idx, jnp.int32),
+            done=jnp.asarray(False),
+            fail=jnp.asarray(False),
+            rng=rng,
+        )
+        return state, self.get_obs(state, ctx)
+
+    def ar_fail_safe(self, state: AREnvState, ctx=None) -> AREnvState:
+        """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328)."""
+        c = self.clip(state, ctx)
+        t = jnp.minimum(state.cur_t + 1, c.qpos.shape[0] - 1)
+        return state._replace(sim=eng.SimState(qpos=c.ar_qpos[t], qvel=c.ar_qvel[t]))
+

@@ -55,6 +55,94 @@ class EnvConfig:
     v_ord: int = 2
 
 
+class TargetFrame(NamedTuple):
+    """Everything the UHC observation needs about its tracking target."""
+    qpos: jax.Array      # (..., 76)
+    wbpos: jax.Array     # (..., 72)
+    body_com: jax.Array  # (..., 72)
+    wbquat: jax.Array    # (..., 96)
+
+
+def full_obs(cfg: "EnvConfig", base_rot: jax.Array, sim: eng.SimState,
+             fk_res: fklib.FKResult, tgt: TargetFrame, include_com: bool):
+    """UHC observation v1 (with per-body CoM blocks) / v2 (without),
+    replicating the reference quirks exactly: double root-frame transform of
+    the linear velocity (humanoid_im.py:150+173) and 'rel_pos' computed from
+    quaternion components (:187) — the trained policies saw these features.
+
+    Standalone so the kinematic-policy env can reuse it with its AR-proposed
+    target (humanoid_ar_v1.py get_cc_obs)."""
+    qpos = sim.qpos
+    qvel = sim.qvel
+
+    def remove_base(q):
+        return tmath.quat_mul(q, tmath.quat_conj(base_rot))
+
+    lin = tmath.transform_vec(qvel[..., :3], qpos[..., 3:7], cfg.obs_coord)
+
+    curr_root_quat = remove_base(qpos[..., 3:7])
+    hq = tmath.heading_q(curr_root_quat)
+
+    target_qpos = tgt.qpos
+    target_root_quat = remove_base(target_qpos[..., 3:7])
+
+    qpos_dh = jnp.concatenate(
+        [qpos[..., :3], tmath.de_heading(curr_root_quat), qpos[..., 7:]], axis=-1
+    )
+    diff_rot = tmath.quat_mul(target_root_quat, tmath.quat_inv(curr_root_quat))
+    diff_qpos = jnp.concatenate(
+        [target_qpos[..., :2],
+         target_qpos[..., 2:3] - qpos_dh[..., 2:3],
+         diff_rot,
+         target_qpos[..., 7:] - qpos_dh[..., 7:]], axis=-1
+    )
+
+    obs = [hq, target_qpos[..., 2:], qpos_dh[..., 2:], diff_qpos[..., 2:]]
+
+    # velocity (the reference double-transforms the linear part)
+    lin2 = tmath.transform_vec(lin, curr_root_quat, cfg.obs_coord)
+    vel = jnp.concatenate([lin2, qvel[..., 3:]], axis=-1)
+    obs.append(vel if cfg.obs_vel == "full" else vel[..., :6])
+
+    rel_h = tmath.wrap_to_pi(tmath.heading(target_root_quat) - tmath.heading(curr_root_quat))
+    obs.append(rel_h[..., None])
+
+    # reference quirk: 'rel_pos' built from quat components (w, x) - xy pos
+    rel_pos = target_root_quat[..., :3] - qpos[..., :3]
+    rel_pos = tmath.transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
+    obs.append(rel_pos[..., :2])
+
+    curr_jpos = fk_res.xpos
+    r_jpos = curr_jpos - qpos[..., None, :3]
+    r_jpos = tmath.transform_vec(r_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
+    obs.append(r_jpos.reshape(qpos.shape[:-1] + (-1,)))
+
+    target_jpos = tgt.wbpos.reshape(qpos.shape[:-1] + (24, 3))
+    diff_jpos = target_jpos - curr_jpos
+    diff_jpos = tmath.transform_vec(diff_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
+    obs.append(diff_jpos.reshape(qpos.shape[:-1] + (-1,)))
+
+    if include_com:
+        curr_com = fk_res.xipos
+        r_com = curr_com - qpos[..., None, :3]
+        r_com = tmath.transform_vec(r_com, curr_root_quat[..., None, :], cfg.obs_coord)
+        obs.append(r_com.reshape(qpos.shape[:-1] + (-1,)))
+        target_com = tgt.body_com.reshape(qpos.shape[:-1] + (24, 3))
+        diff_com = target_com - curr_com
+        diff_com = tmath.transform_vec(diff_com, curr_root_quat[..., None, :], cfg.obs_coord)
+        obs.append(diff_com.reshape(qpos.shape[:-1] + (-1,)))
+
+    cur_quat = fk_res.xquat
+    r_quat = tmath.quat_mul(tmath.quat_inv(hq)[..., None, :], cur_quat)
+    obs.append(r_quat.reshape(qpos.shape[:-1] + (-1,)))
+
+    target_quat = tgt.wbquat.reshape(qpos.shape[:-1] + (24, 4))
+    rel_quat = tmath.quat_mul(tmath.quat_inv(cur_quat), target_quat)
+    obs.append(rel_quat.reshape(qpos.shape[:-1] + (-1,)))
+
+    return jnp.concatenate(obs, axis=-1)
+
+
 class EnvState(NamedTuple):
     sim: eng.SimState
     cur_t: jax.Array          # int32
@@ -107,85 +195,16 @@ class HumanoidImEnv:
     def get_obs(self, state: EnvState, fk_res: fklib.FKResult | None = None):
         if fk_res is None:
             fk_res = fklib.fk(self.model.spec, state.sim.qpos)
-        if self.cfg.obs_v == 1:
-            return self._full_obs(state, fk_res, include_com=True)
-        elif self.cfg.obs_v == 2:
-            return self._full_obs(state, fk_res, include_com=False)
-        raise ValueError(f"obs_v {self.cfg.obs_v}")
-
-    def _full_obs(self, state: EnvState, fk_res: fklib.FKResult, include_com: bool):
-        """obs v1 (with per-body CoM blocks) / v2 (without), replicating the
-        reference quirks exactly: double root-frame transform of the linear
-        velocity (:150+:173) and rel_pos computed from quaternion components
-        (:187) — the trained policies saw these features."""
-        cfg = self.cfg
-        qpos = state.sim.qpos
-        qvel = state.sim.qvel
         tgt = self.expert_frame(state, delta_t=1)
-
-        lin = tmath.transform_vec(qvel[..., :3], qpos[..., 3:7], cfg.obs_coord)
-
-        curr_root_quat = self.remove_base_rot(qpos[..., 3:7])
-        hq = tmath.heading_q(curr_root_quat)
-
-        target_qpos = tgt.qpos
-        target_root_quat = self.remove_base_rot(target_qpos[..., 3:7])
-
-        qpos_dh = jnp.concatenate(
-            [qpos[..., :3], tmath.de_heading(curr_root_quat), qpos[..., 7:]], axis=-1
-        )
-        diff_rot = tmath.quat_mul(target_root_quat, tmath.quat_inv(curr_root_quat))
-        diff_qpos = jnp.concatenate(
-            [target_qpos[..., :2],
-             target_qpos[..., 2:3] - qpos_dh[..., 2:3],
-             diff_rot,
-             target_qpos[..., 7:] - qpos_dh[..., 7:]], axis=-1
-        )
-
-        obs = [hq, target_qpos[..., 2:], qpos_dh[..., 2:], diff_qpos[..., 2:]]
-
-        # velocity (the reference double-transforms the linear part)
-        lin2 = tmath.transform_vec(lin, curr_root_quat, cfg.obs_coord)
-        vel = jnp.concatenate([lin2, qvel[..., 3:]], axis=-1)
-        obs.append(vel if cfg.obs_vel == "full" else vel[..., :6])
-
-        rel_h = tmath.wrap_to_pi(tmath.heading(target_root_quat) - tmath.heading(curr_root_quat))
-        obs.append(rel_h[..., None])
-
-        # reference quirk: 'rel_pos' built from quat components (w, x) - xy pos
-        rel_pos = target_root_quat[..., :3] - qpos[..., :3]
-        rel_pos = tmath.transform_vec(rel_pos, curr_root_quat, cfg.obs_coord)
-        obs.append(rel_pos[..., :2])
-
-        curr_jpos = fk_res.xpos
-        r_jpos = curr_jpos - qpos[..., None, :3]
-        r_jpos = tmath.transform_vec(r_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
-        obs.append(r_jpos.reshape(qpos.shape[:-1] + (-1,)))
-
-        target_jpos = tgt.wbpos.reshape(tgt.wbpos.shape[:-1] + (-1,)).reshape(qpos.shape[:-1] + (24, 3))
-        diff_jpos = target_jpos - curr_jpos
-        diff_jpos = tmath.transform_vec(diff_jpos, curr_root_quat[..., None, :], cfg.obs_coord)
-        obs.append(diff_jpos.reshape(qpos.shape[:-1] + (-1,)))
-
-        if include_com:
-            curr_com = fk_res.xipos
-            r_com = curr_com - qpos[..., None, :3]
-            r_com = tmath.transform_vec(r_com, curr_root_quat[..., None, :], cfg.obs_coord)
-            obs.append(r_com.reshape(qpos.shape[:-1] + (-1,)))
-            target_com = tgt.body_com.reshape(qpos.shape[:-1] + (24, 3))
-            diff_com = target_com - curr_com
-            diff_com = tmath.transform_vec(diff_com, curr_root_quat[..., None, :], cfg.obs_coord)
-            obs.append(diff_com.reshape(qpos.shape[:-1] + (-1,)))
-
-        cur_quat = fk_res.xquat
-        r_quat = tmath.quat_mul(tmath.quat_inv(hq)[..., None, :], cur_quat)
-        obs.append(r_quat.reshape(qpos.shape[:-1] + (-1,)))
-
-        target_quat = tgt.wbquat.reshape(qpos.shape[:-1] + (24, 4))
-        rel_quat = tmath.quat_mul(tmath.quat_inv(cur_quat), target_quat)
-        obs.append(rel_quat.reshape(qpos.shape[:-1] + (-1,)))
-
-        return jnp.concatenate(obs, axis=-1)
+        target = TargetFrame(qpos=tgt.qpos, wbpos=tgt.wbpos,
+                             body_com=tgt.body_com, wbquat=tgt.wbquat)
+        if self.cfg.obs_v == 1:
+            return full_obs(self.cfg, self.base_rot, state.sim, fk_res, target,
+                            include_com=True)
+        elif self.cfg.obs_v == 2:
+            return full_obs(self.cfg, self.base_rot, state.sim, fk_res, target,
+                            include_com=False)
+        raise ValueError(f"obs_v {self.cfg.obs_v}")
 
     # -- reward (world_rfc_implicit) ----------------------------------------
 

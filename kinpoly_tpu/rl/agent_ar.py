@@ -1,0 +1,299 @@
+"""AgentAR — the dynamics-regulated kinematic-policy trainer
+(port of ``kin_poly/core/agent_ar.py`` + ``scripts/train_ar_policy.py``).
+
+Composite update per epoch (kin_poly.yml policy_specs: rl_update +
+step_update):
+
+1. context build: sample N windows (host, freq-weighted), run the batched
+   AR-net rollout once to create per-window contexts (init_context)
+2. on-device rollout: N recurrent-policy envs x T steps with the frozen UHC
+   controller in-loop
+3. rl_update: PPO on the kinematic policy, recomputing action means by
+   re-running the step-GRU over the (T, N) grid with mask-reset carries
+4. step_update: `num_step_update` supervised epochs of per-step BC toward
+   the GT next pose through the kinematic integrator
+
+The supervised pretraining (train_init: init-state regression then full-AR
+supervised with scheduled sampling) mirrors agent_ar.train_init:366.
+"""
+
+from __future__ import annotations
+
+import pickle
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kinpoly_tpu.data.statear import StateARDataset
+from kinpoly_tpu.envs.humanoid_ar import ARContext, HumanoidAREnv
+from kinpoly_tpu.models import nets
+from kinpoly_tpu.models.policy_ar import PolicyAR
+from kinpoly_tpu.models.traj_ar import (ClipData, TrajARNet, compute_loss,
+                                        compute_loss_init)
+from kinpoly_tpu.rl import gae, rollout_ar as roa
+from kinpoly_tpu.physics import fk as fklib
+
+
+@dataclass
+class ARTrainConfig:
+    # supervised phase (kin_poly.yml root level)
+    lr: float = 5e-4
+    batch_size: int = 32           # per supervised step (ref 256; scaled for windows)
+    fr_num: int = 100
+    # RL phase (policy_specs)
+    policy_lr: float = 1e-5
+    value_lr: float = 3e-4
+    clip_epsilon: float = 0.2
+    gamma: float = 0.95
+    tau: float = 0.95
+    num_optim_epoch: int = 10
+    num_step_update: int = 20
+    num_init_update: int = 3
+    log_std: float = -3.2
+    n_envs: int = 64
+    rollout_steps: int = 156       # n_envs * steps ~ min_batch_size 10000
+    max_grad_norm: float = 40.0
+    sampling_temp: float = 0.3
+    sampling_freq: float = 0.5
+    seed: int = 4
+    save_model_interval: int = 50
+
+
+class AgentAR:
+    def __init__(self, env: HumanoidAREnv, dataset: StateARDataset,
+                 cfg: ARTrainConfig, out_dir: str | None = None):
+        self.env = env
+        self.dataset = dataset
+        self.cfg = cfg
+        self.out_dir = Path(out_dir) if out_dir else None
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.np_rng = np.random.RandomState(cfg.seed)
+        self.epoch = 0
+
+        self.policy = PolicyAR(env.model.spec, env.kin_cfg, cfg.log_std)
+        example = dataset.get_batch(self.np_rng, 1)
+        self.rng, k = jax.random.split(self.rng)
+        self.params = self.policy.init_params(k, example)
+
+        from kinpoly_tpu.models.traj_ar import obs_dim as ar_obs_dim
+        obs_dim = ar_obs_dim(env.kin_cfg, as_policy=True)
+        self.value = nets.Value(hidden=(512, 256))
+        self.rng, k = jax.random.split(self.rng)
+        self.value_params = self.value.init(k, jnp.zeros((1, obs_dim)))
+
+        self.sup_opt = optax.adam(cfg.lr)
+        self.sup_opt_state = self.sup_opt.init(self.params)
+        self.pol_opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                                   optax.adam(cfg.policy_lr))
+        self.pol_opt_state = self.pol_opt.init(self.params)
+        self.val_opt = optax.adam(cfg.value_lr)
+        self.val_opt_state = self.val_opt.init(self.value_params)
+
+        self._rollout = roa.make_ar_rollout(env, self.policy, cfg.rollout_steps)
+        self._jit_full_sup = jax.jit(self._full_sup_step)
+        self._jit_init_sup = jax.jit(self._init_sup_step)
+        self._jit_build_ctx = jax.jit(self._build_context)
+        self._jit_rl = jax.jit(self._rl_and_step_update)
+
+        # per-take success tracking for adaptive window sampling
+        self.freq = {}
+
+    # ------------------------------------------------------------------
+    # supervised pretraining (train_init)
+    # ------------------------------------------------------------------
+
+    def _full_sup_step(self, params, opt_state, batch: ClipData, rng, gt_rate):
+        def loss_fn(p):
+            feats = self.policy.net.apply(p, batch, gt_rate, rng, True)
+            loss, info = compute_loss(self.env.kin_cfg, feats, batch)
+            return loss, info
+
+        (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.sup_opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, info
+
+    def _init_sup_step(self, params, opt_state, batch: ClipData):
+        def loss_fn(p):
+            qpos0, qvel0, _ = self.policy.net.apply(
+                p, batch, method=TrajARNet.init_states)
+            loss, info = compute_loss_init(
+                self.env.model.spec, self.env.kin_cfg, qpos0,
+                batch.qpos[:, 0], qvel0, batch.qvel[:, 0])
+            return loss, info
+
+        (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.sup_opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss, info
+
+    def train_init(self, init_steps: int = 500, full_steps: int = 50,
+                   gt_rate: float = 0.3, log_every: int = 50):
+        """Supervised warm start (agent_ar.train_init:366)."""
+        logs = []
+        for i in range(init_steps):
+            batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
+            self.params, self.sup_opt_state, loss, _ = self._jit_init_sup(
+                self.params, self.sup_opt_state, batch)
+            if i % log_every == 0:
+                logs.append(("init", i, float(loss)))
+        for i in range(full_steps):
+            batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.sup_opt_state, loss, _ = self._jit_full_sup(
+                self.params, self.sup_opt_state, batch, k, gt_rate)
+            if i % log_every == 0:
+                logs.append(("full", i, float(loss)))
+        return logs
+
+    # ------------------------------------------------------------------
+    # context building
+    # ------------------------------------------------------------------
+
+    def _build_context(self, params, batch: ClipData, fix_height: bool = False) -> ARContext:
+        ar = self.policy.init_context(params, batch, smooth=True,
+                                      fix_height=fix_height)
+        spec = self.env.model.spec
+        gt_fk = fklib.fk(spec, batch.qpos)
+        B, T = batch.qpos.shape[:2]
+        return ARContext(
+            qpos=batch.qpos, qvel=batch.qvel,
+            bquat=fklib.body_quat_sim(spec, batch.qpos),
+            gt_wbpos=gt_fk.xpos.reshape(B, T, -1),
+            head_pose=batch.head_pose, head_vels=batch.head_vels,
+            obj_pose=batch.obj_pose,
+            obj_head_relative_poses=batch.obj_head_relative_poses,
+            action_one_hot=batch.action_one_hot,
+            ar_qpos=ar["ar_qpos"], ar_qvel=ar["ar_qvel"],
+            ar_wbpos=ar["ar_wbpos"],
+            init_qpos=ar["init_qpos"], init_qvel=ar["init_qvel"],
+            length=jnp.full((B,), T - 1, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # composite RL + supervised update
+    # ------------------------------------------------------------------
+
+    def _rl_and_step_update(self, params, value_params, pol_opt_state,
+                            val_opt_state, sup_opt_state, carry, ctx, rng):
+        cfg = self.cfg
+        carry, traj = self._rollout(carry, params, ctx, mean_action=True)
+        T, N = traj.rewards.shape
+
+        values = self.value.apply(value_params, traj.obs)
+        bootstrap = self.value.apply(value_params, carry.obs)
+        adv, ret = gae.estimate_advantages(
+            traj.rewards, traj.masks, values, cfg.gamma, cfg.tau, bootstrap)
+
+        prev_masks = jnp.concatenate(
+            [jnp.ones((1, N), traj.masks.dtype), traj.masks[:-1]], axis=0)
+
+        flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+        log_std = self.policy.log_std
+
+        def ppo_epoch(ts, key):
+            params, pol_state, value_params, val_state = ts
+
+            def v_loss(vp):
+                return jnp.mean((self.value.apply(vp, flat(traj.obs)) - flat(ret)) ** 2)
+
+            vl, vg = jax.value_and_grad(v_loss)(value_params)
+            vu, val_state = self.val_opt.update(vg, val_state)
+            value_params = optax.apply_updates(value_params, vu)
+
+            def p_loss(p):
+                means = self.policy.action_means_over_time(p, traj.obs, prev_masks)
+                lp = nets.gaussian_log_prob(
+                    flat(traj.actions), flat(means),
+                    jnp.full_like(flat(means), log_std))
+                ratio = jnp.exp(lp - flat(traj.log_probs))
+                a = flat(adv)
+                surr = -jnp.mean(jnp.minimum(
+                    ratio * a,
+                    jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * a))
+                return surr
+
+            pl, pg = jax.value_and_grad(p_loss)(params)
+            pu, pol_state = self.pol_opt.update(pg, pol_state, params)
+            params = optax.apply_updates(params, pu)
+            return (params, pol_state, value_params, val_state), (pl, vl)
+
+        ts = (params, pol_opt_state, value_params, val_opt_state)
+        ts, (pls, vls) = jax.lax.scan(
+            ppo_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
+        params, pol_opt_state, value_params, val_opt_state = ts
+
+        # step_update: num_step_update supervised BC epochs through the
+        # kinematic integrator (agent_ar.py:720-726)
+        def bc_epoch(carry2, _):
+            params, opt_state = carry2
+
+            def loss_fn(p):
+                loss, _ = self.policy.step_update_loss(
+                    p, traj.obs, prev_masks, traj.curr_qpos, traj.gt_qpos)
+                return loss
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.sup_opt.update(g, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, sup_state), bc_losses = jax.lax.scan(
+            bc_epoch, (params, sup_opt_state), None,
+            length=cfg.num_step_update)
+
+        metrics = dict(
+            reward_mean=traj.rewards.mean(),
+            ppo_loss=pls.mean(), value_loss=vls.mean(),
+            bc_loss=bc_losses.mean(),
+            fail_frac=traj.fails.mean(),
+        )
+        return (params, value_params, pol_opt_state, val_opt_state, sup_state,
+                carry, metrics, traj.percents, traj.clips, traj.masks == 0)
+
+    def optimize_policy(self):
+        """One full training epoch (agent_ar.optimize_policy:271)."""
+        t0 = time.time()
+        cfg = self.cfg
+        batch = self.dataset.get_batch(self.np_rng, cfg.n_envs)
+        ctx = self._jit_build_ctx(self.params, batch)
+
+        self.rng, k_init, k_rl = jax.random.split(self.rng, 3)
+        carry = roa.init_ar_rollout_state(
+            self.env, self.policy, k_init,
+            jnp.arange(cfg.n_envs, dtype=jnp.int32), ctx)
+
+        (self.params, self.value_params, self.pol_opt_state,
+         self.val_opt_state, self.sup_opt_state, _, metrics,
+         percents, clips, dones) = self._jit_rl(
+            self.params, self.value_params, self.pol_opt_state,
+            self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl)
+
+        self.epoch += 1
+        out = {k: float(v) for k, v in metrics.items()}
+        out["T_iter"] = time.time() - t0
+        if self.out_dir and self.epoch % cfg.save_model_interval == 0:
+            self.save_checkpoint()
+        return out
+
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, path=None):
+        path = path or (self.out_dir / f"iter_{self.epoch:04d}.p")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(dict(
+                params=jax.device_get(self.params),
+                value_params=jax.device_get(self.value_params),
+                epoch=self.epoch,
+            ), f)
+        return str(path)
+
+    def load_checkpoint(self, path):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = blob["params"]
+        self.value_params = blob["value_params"]
+        self.epoch = blob["epoch"]

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Train the dynamics-regulated kinematic policy
+(reference scripts/train_ar_policy.py + kin_poly/core/agent_ar.py).
+
+Phases: supervised warm start (init-state + full-AR), then per-epoch
+composite updates (PPO through the simulated rollout + per-step BC).
+
+Usage:
+  python scripts/train_ar_policy.py --cfg kin_poly \
+      --data sample_data/features/mocap_annotations.p \
+      --uhc-checkpoint results/motion_im/uhc/models/iter_XXXX.p
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+if "JAX_PLATFORMS" in os.environ and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import joblib
+import numpy as np
+
+
+def load_uhc(path, obs_dim=784, action_dim=75):
+    """Load a UHC checkpoint saved by kinpoly_tpu (agent_uhc.save_checkpoint)."""
+    import pickle
+
+    from kinpoly_tpu.models import nets
+    from kinpoly_tpu.rl import running_norm as rn
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    cfgd = blob.get("cfg", {})
+    if cfgd.get("actor_type", "mcp") == "mcp":
+        policy = nets.PolicyMCP(action_dim=action_dim,
+                                num_primitive=cfgd.get("num_primitive", 8),
+                                hidden=tuple(cfgd.get("policy_hsize", (512, 256))),
+                                log_std_init=cfgd.get("log_std", -2.3))
+    else:
+        policy = nets.PolicyGaussian(action_dim=action_dim,
+                                     hidden=tuple(cfgd.get("policy_hsize", (512, 256))),
+                                     log_std_init=cfgd.get("log_std", -2.3))
+    norm = rn.RunningNorm(*blob["norm"])
+    return policy.apply, blob["policy_params"], norm
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="kin_poly")
+    p.add_argument("--data", required=False, default=None)
+    p.add_argument("--uhc-checkpoint", default=None)
+    p.add_argument("--iter", type=int, default=0)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--skip-init", action="store_true")
+    p.add_argument("--out", default="results")
+    args = p.parse_args()
+
+    from kinpoly_tpu.anim.mjcf import parse_humanoid
+    from kinpoly_tpu.config.config import KinPolyConfig, UHCConfig
+    from kinpoly_tpu.config.defaults import uhc_control_params
+    from kinpoly_tpu.data import statear
+    from kinpoly_tpu.envs.humanoid_ar import HumanoidAREnv
+    from kinpoly_tpu.models import nets
+    from kinpoly_tpu.physics import engine as eng
+    from kinpoly_tpu.rl import running_norm as rn
+    from kinpoly_tpu.rl.agent_ar import AgentAR
+    from kinpoly_tpu.utils.logger import create_logger
+
+    cfg = KinPolyConfig(args.cfg, args.out)
+    cc_cfg = UHCConfig("uhc", args.out)
+    logger = create_logger(os.path.join(cfg.out_dir, "log.txt"))
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        spec = parse_humanoid(
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
+        model = eng.build_model(spec, uhc_control_params(spec))
+
+        if args.data:
+            takes = statear.load_annotations(args.data)
+        else:
+            logger.info("no --data; synthesizing a standing take for smoke run")
+            standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
+            q = np.asarray(standing["qpos"], np.float32)
+            rng = np.random.RandomState(0)
+            seq = np.repeat(q[None], 240, 0)
+            seq[:, 7:] += np.cumsum(rng.uniform(-0.005, 0.005, (240, 69)), 0).astype(np.float32)
+            obj = np.zeros((240, 7), np.float32)
+            obj[:, :3] = [1.0, 0.5, 0.4]
+            obj[:, 3] = 1
+            takes = [statear.derive_features(spec, seq, obj)]
+
+        dataset = statear.StateARDataset(takes, fr_num=cfg.fr_num)
+
+        if args.uhc_checkpoint:
+            cc_apply, cc_params, cc_norm = load_uhc(args.uhc_checkpoint)
+        else:
+            logger.info("no --uhc-checkpoint; using a fresh (untrained) UHC policy")
+            pol = nets.PolicyMCP(action_dim=75)
+            cc_params = pol.init(jax.random.PRNGKey(0),
+                                 np.zeros((1, 784), np.float32))
+            cc_apply, cc_norm = pol.apply, rn.init(784)
+
+        env = HumanoidAREnv(
+            model, cfg.traj_ar_config(), cc_cfg.env_config(),
+            cfg.reward_weights(), context=None,
+            cc_policy_apply=cc_apply, cc_policy_params=cc_params,
+            cc_norm=cc_norm, mode="train",
+            body_diff_thresh=cfg.policy_specs.get("body_diff_thresh", 10.0),
+            body_diff_gt_thresh=cfg.policy_specs.get("body_diff_gt_thresh", 12.0))
+
+    agent = AgentAR(env, dataset, cfg.train_config(), out_dir=cfg.model_dir)
+    if args.iter > 0:
+        agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
+    elif not args.skip_init:
+        logger.info("supervised warm start (train_init)...")
+        for tag, i, loss in agent.train_init():
+            logger.info(f"  {tag} step {i}: loss {loss:.4f}")
+
+    max_epochs = args.max_epochs or cfg.policy_specs.get("max_iter_num", 20000)
+    for i in range(agent.epoch, max_epochs):
+        m = agent.optimize_policy()
+        logger.info(
+            f"epoch {i}  R {m['reward_mean']:.4f}  bc {m['bc_loss']:.4f}  "
+            f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  T {m['T_iter']:.2f}s")
+
+
+if __name__ == "__main__":
+    main()

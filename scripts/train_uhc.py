@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Train the Universal Humanoid Controller (reference scripts/train_uhc.py).
+
+The 35-process CPU sampler + single-GPU PPO of the reference becomes one
+jitted train iteration per epoch: N vmapped envs x T steps rollout fused with
+the PPO update on the TPU chip.
+
+Usage:
+  python scripts/train_uhc.py --cfg uhc --data <expert_pickle> [--iter N]
+
+The expert pickle is a dict {take_name: {"qpos": (T, 76), ...}} (the output
+of the AMASS preprocessing pipeline, kinpoly_tpu/data/amass.py) or a single
+{"qpos": ...} dict; without --data it trains on the standing-neutral fixture
+for smoke testing.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# eager prep on CPU; jitted programs on the accelerator
+if "JAX_PLATFORMS" in os.environ and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import joblib
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="uhc")
+    p.add_argument("--data", default=None)
+    p.add_argument("--iter", type=int, default=0)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--n-envs", type=int, default=None)
+    p.add_argument("--rollout-steps", type=int, default=None)
+    p.add_argument("--out", default="results")
+    args = p.parse_args()
+
+    from kinpoly_tpu.anim.mjcf import parse_humanoid
+    from kinpoly_tpu.config.config import UHCConfig
+    from kinpoly_tpu.config.defaults import uhc_control_params
+    from kinpoly_tpu.data import expert as exlib
+    from kinpoly_tpu.envs.humanoid_im import HumanoidImEnv
+    from kinpoly_tpu.physics import engine as eng
+    from kinpoly_tpu.rl.agent_uhc import UHCAgent
+    from kinpoly_tpu.utils.logger import create_logger
+
+    cfg = UHCConfig(args.cfg, args.out)
+    tc = cfg.train_config()
+    if args.n_envs:
+        tc = tc.__class__(**{**tc.__dict__, "n_envs": args.n_envs})
+    if args.rollout_steps:
+        tc = tc.__class__(**{**tc.__dict__, "rollout_steps": args.rollout_steps})
+
+    logger = create_logger(os.path.join(cfg.out_dir, "log.txt"))
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        spec = parse_humanoid(
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
+        model = eng.build_model(
+            spec, uhc_control_params(spec, rfc_scale=cfg.residual_force_scale,
+                                     meta_pd=cfg.meta_pd))
+
+        standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
+        if args.data:
+            takes = joblib.load(args.data)
+            if "qpos" in takes:
+                takes = {"take_0": takes}
+        else:
+            logger.info("no --data given; smoke-training on standing fixture")
+            q = np.asarray(standing["qpos"], np.float32)
+            takes = {"standing": {"qpos": np.repeat(q[None], 120, 0)}}
+
+        t_max = max(t["qpos"].shape[0] for t in takes.values())
+        clips = [exlib.from_qpos(spec, np.asarray(t["qpos"], np.float32),
+                                 dt=model.control_dt, pad_to=t_max)
+                 for t in takes.values()]
+        bank = exlib.stack_bank(clips)
+        env = HumanoidImEnv(model, cfg.env_config(), bank,
+                            np.asarray(standing["qpos"], np.float32),
+                            np.asarray(standing["qvel"], np.float32))
+
+    agent = UHCAgent(env, tc, out_dir=cfg.model_dir)
+    if args.iter > 0:
+        agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
+
+    max_iters = args.max_iters or cfg.max_iter_num
+    for i in range(agent.epoch, max_iters):
+        metrics = agent.train_epoch()
+        logger.info(
+            f"iter {i}  R {metrics['reward_mean']:.4f}  "
+            f"fail {metrics['fail_frac']:.3f}  T {metrics['T_iter']:.2f}s")
+        if (i + 1) % 200 == 0:
+            cov, _ = agent.eval_coverage()
+            logger.info(f"iter {i}  coverage {cov:.3f}")
+
+
+if __name__ == "__main__":
+    main()

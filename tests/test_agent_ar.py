@@ -1,0 +1,95 @@
+"""End-to-end dynamics-regulated stack: AR env step, supervised pretrain,
+and one composite PPO+BC epoch — tiny sizes, CPU."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kinpoly_tpu.config.defaults import uhc_control_params
+from kinpoly_tpu.data import statear
+from kinpoly_tpu.envs.humanoid_ar import ARRewardWeights, HumanoidAREnv
+from kinpoly_tpu.envs.humanoid_im import EnvConfig
+from kinpoly_tpu.models import nets
+from kinpoly_tpu.models.traj_ar import TrajARConfig
+from kinpoly_tpu.physics import engine as eng
+from kinpoly_tpu.rl import running_norm as rn
+from kinpoly_tpu.rl.agent_ar import AgentAR, ARTrainConfig
+from tests.mj_oracle import get_spec
+from tests.test_traj_ar import make_dataset
+
+
+@functools.lru_cache(maxsize=None)
+def make_setup():
+    spec = get_spec()
+    model = eng.build_model(spec, uhc_control_params(spec))
+    ds = statear.StateARDataset(make_dataset().takes, fr_num=12)
+
+    kin_cfg = TrajARConfig(rnn_hdim=32, mlp_hsize=(32,), add_noise=False)
+    cc_cfg = EnvConfig(obs_v=1)
+
+    # a fresh (untrained) UHC controller: enough for smoke-testing the loop
+    cc_policy = nets.PolicyMCP(action_dim=75, num_primitive=2,
+                               hidden=(32,), composer_hidden=(16,))
+    cc_params = cc_policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 784)))
+    cc_norm = rn.init(784)
+
+    cfg = ARTrainConfig(batch_size=2, fr_num=12, n_envs=2, rollout_steps=6,
+                        num_optim_epoch=2, num_step_update=2)
+
+    # placeholder context from the dataset itself
+    from kinpoly_tpu.models.policy_ar import PolicyAR
+    policy_stub = PolicyAR(spec, kin_cfg)
+    rngn = np.random.RandomState(0)
+    batch = ds.get_batch(rngn, cfg.n_envs)
+    params0 = policy_stub.init_params(jax.random.PRNGKey(1), batch)
+
+    env = HumanoidAREnv(
+        model, kin_cfg, cc_cfg, ARRewardWeights(), context=None,
+        cc_policy_apply=cc_policy.apply, cc_policy_params=cc_params,
+        cc_norm=cc_norm, mode="train")
+
+    agent = AgentAR(env, ds, cfg)
+    return agent
+
+
+def _make_ctx(agent):
+    rngn = np.random.RandomState(3)
+    batch = agent.dataset.get_batch(rngn, agent.cfg.n_envs)
+    return agent._jit_build_ctx(agent.params, batch)
+
+
+def test_ar_env_reset_step():
+    agent = make_setup()
+    env = agent.env
+    ctx = _make_ctx(agent)
+    state, obs = jax.jit(lambda k, i: env.reset(k, i, ctx))(
+        jax.random.PRNGKey(0), jnp.asarray(0, jnp.int32))
+    assert np.isfinite(np.asarray(obs)).all()
+    assert obs.shape[-1] == 105  # 74 + 3+4 + 7 + 3+3+7 + 4 (as_policy)
+
+    action = jnp.asarray(np.random.RandomState(0).uniform(-0.05, 0.05, 80))
+    # make the pose part realistic (target layout): copy from context target
+    gt_target = ctx.qpos[0, 0]
+    state2, obs2, reward, done, info = jax.jit(
+        lambda s, a: env.step(s, a, ctx))(state, action)
+    assert np.isfinite(np.asarray(obs2)).all()
+    assert np.isfinite(float(reward))
+    assert info["cc_action"].shape == (75,)
+
+
+def test_agent_ar_train_init_reduces_loss():
+    agent = make_setup()
+    logs = agent.train_init(init_steps=30, full_steps=6, log_every=5)
+    init_losses = [l for tag, i, l in logs if tag == "init"]
+    assert init_losses[-1] < init_losses[0], init_losses
+    assert all(np.isfinite(init_losses))
+
+
+def test_agent_ar_optimize_epoch():
+    agent = make_setup()
+    out = agent.optimize_policy()
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
+    assert "reward_mean" in out and 0.0 <= out["reward_mean"] <= 1.0
