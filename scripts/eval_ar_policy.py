@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Kinematic-policy evaluation (reference scripts/eval_ar_policy.py
+--mode stats): per-take coverage with optional fail-safe teleports, dumping
+{pred, target(gt), percent, fail_safe} result rows, then the eval_pose_all
+metric table.
+
+The reference fans a Pool over takes; here takes run vmapped in one scan.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+if "JAX_PLATFORMS" in os.environ and "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] += ",cpu"
+
+import jax
+import jax.numpy as jnp
+import joblib
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--cfg", default="kin_poly")
+    p.add_argument("--iter", type=int, required=True)
+    p.add_argument("--data", default=None)
+    p.add_argument("--uhc-checkpoint", default=None)
+    p.add_argument("--wild", action="store_true")
+    p.add_argument("--fail-safe", action="store_true")
+    p.add_argument("--out", default="results")
+    args = p.parse_args()
+
+    from kinpoly_tpu.anim.mjcf import parse_humanoid
+    from kinpoly_tpu.config.config import KinPolyConfig, UHCConfig
+    from kinpoly_tpu.config.defaults import uhc_control_params
+    from kinpoly_tpu.data import statear
+    from kinpoly_tpu.envs.humanoid_ar import HumanoidAREnv
+    from kinpoly_tpu.metrics import pose_metrics
+    from kinpoly_tpu.models import nets
+    from kinpoly_tpu.physics import contact as ct
+    from kinpoly_tpu.physics import engine as eng
+    from kinpoly_tpu.rl import running_norm as rn, rollout_ar as roa
+    from kinpoly_tpu.rl.agent_ar import AgentAR
+    from kinpoly_tpu.utils.logger import create_logger
+    from scripts.train_ar_policy import load_uhc
+
+    cfg = KinPolyConfig(args.cfg, args.out)
+    cc_cfg = UHCConfig("uhc", args.out)
+    logger = create_logger()
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        spec = parse_humanoid(
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
+        model = eng.build_model(spec, uhc_control_params(spec))
+        if args.data:
+            takes = statear.load_annotations(args.data)
+        else:
+            standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
+            q = np.asarray(standing["qpos"], np.float32)
+            rng = np.random.RandomState(0)
+            seq = np.repeat(q[None], 120, 0)
+            seq[:, 7:] += np.cumsum(rng.uniform(-0.003, 0.003, (120, 69)), 0).astype(np.float32)
+            obj = np.zeros((120, 7), np.float32)
+            obj[:, :3] = [1.0, 0.5, 0.4]
+            obj[:, 3] = 1
+            takes = [statear.derive_features(spec, seq, obj)]
+
+        T_max = max(t["qpos"].shape[0] for t in takes)
+        dataset = statear.StateARDataset(takes, fr_num=T_max)
+
+        if args.uhc_checkpoint:
+            cc_apply, cc_params, cc_norm = load_uhc(args.uhc_checkpoint)
+        else:
+            pol = nets.PolicyMCP(action_dim=75)
+            cc_params = pol.init(jax.random.PRNGKey(0), np.zeros((1, 784), np.float32))
+            cc_apply, cc_norm = pol.apply, rn.init(784)
+
+        env = HumanoidAREnv(
+            model, cfg.traj_ar_config(), cc_cfg.env_config(),
+            cfg.reward_weights(), context=None,
+            cc_policy_apply=cc_apply, cc_policy_params=cc_params,
+            cc_norm=cc_norm, mode="test", wild=args.wild)
+
+    agent = AgentAR(env, dataset, cfg.train_config())
+    ckpt = os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p")
+    if os.path.exists(ckpt):
+        agent.load_checkpoint(ckpt)
+    else:
+        logger.info(f"checkpoint {ckpt} not found; evaluating fresh params")
+
+    # whole-take contexts
+    batches = [dataset.whole_take(i) for i in range(dataset.n_takes)]
+    batch = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *batches)
+    ctx = agent._jit_build_ctx(agent.params, batch, True)
+
+    n = dataset.n_takes
+    rollout = roa.make_ar_rollout(env, agent.policy, T_max - 1)
+    carry = roa.init_ar_rollout_state(
+        env, agent.policy, jax.random.PRNGKey(7),
+        jnp.arange(n, dtype=jnp.int32), ctx)
+
+    @jax.jit
+    def run(params, carry):
+        return rollout(carry, params, ctx, mean_action=True)
+
+    carry, traj = run(agent.params, carry)
+
+    # per-take stats: first done step, percent, pred trajectory
+    masks = np.asarray(traj.masks)             # (T, N)
+    percents = np.asarray(traj.percents)
+    res_qpos = np.asarray(traj.res_qpos)
+    cand_verts, cand_body = model.cand_verts, model.cand_body
+
+    os.makedirs(os.path.join(cfg.out_dir, "results"), exist_ok=True)
+    rows = []
+    for i in range(n):
+        done_steps = np.nonzero(masks[:, i] == 0)[0]
+        end = int(done_steps[0]) + 1 if len(done_steps) else masks.shape[0]
+        percent = float(percents[end - 1, i])
+        pred = res_qpos[:end, i]
+        gt = np.asarray(batch.qpos[i, 1:end + 1])
+        m = pose_metrics.evaluate_pair(spec, pred, gt, cand=(cand_verts, cand_body))
+        m = {k: float(v) for k, v in m.items()}
+        m["percent"] = percent
+        rows.append(m)
+        tag = "wild_" if args.wild else ""
+        with open(os.path.join(cfg.out_dir, "results",
+                               f"{args.iter:04d}_{tag}take{i}_coverage_full.pkl"), "wb") as f:
+            pickle.dump(dict(pred=pred, gt=gt, percent=percent), f)
+        logger.info(f"take {i}: pct {percent:.2f} " +
+                    " ".join(f"{k}:{v:.3f}" for k, v in m.items()))
+
+    agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    coverage = float(np.mean([r["percent"] >= 1.0 for r in rows]))
+    logger.info("MEAN  " + " ".join(f"{k}:{v:.3f}" for k, v in agg.items()))
+    logger.info(f"coverage: {coverage:.4f} over {n} takes")
+
+
+if __name__ == "__main__":
+    main()
