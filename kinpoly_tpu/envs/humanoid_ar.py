@@ -192,8 +192,12 @@ class HumanoidAREnv:
             cc_action = cc_mean + jnp.exp(cc_log_std) * jax.random.normal(
                 k_cc, cc_mean.shape, cc_mean.dtype)
 
+        c0 = self.clip(state, ctx)
+        obj_qpos = self.convert_obj_qpos(c0.action_one_hot[0], c0.obj_pose[0]) \
+            if self.model.scene is not None else None
         sim = eng.control_step(self.model, prev_sim, cc_action,
-                               next_qpos[..., 7:], self.base_rot)
+                               next_qpos[..., 7:], self.base_rot,
+                               obj_qpos=obj_qpos)
 
         new_t = state.cur_t + 1
         c = self.clip(state, ctx)
@@ -302,6 +306,29 @@ class HumanoidAREnv:
             rng=rng,
         )
         return state, self.get_obs(state, ctx)
+
+    def convert_obj_qpos(self, action_one_hot: jax.Array,
+                         obj_pose: jax.Array) -> jax.Array:
+        """Place the action's active object at its context pose and park the
+        others far away (humanoid_ar_v1.convert_obj_qpos:479-497).
+        Returns (..., n_obj, 7)."""
+        n_obj = len(self.model.spec.objects)
+        default = np.zeros((n_obj, 7))
+        for i in range(n_obj):
+            default[i, :3] = [(i + 1) * 100.0, 100.0, 0.0]
+        default[:, 3] = 1.0
+        out = jnp.broadcast_to(
+            jnp.asarray(default, obj_pose.dtype),
+            action_one_hot.shape[:-1] + (n_obj, 7))
+        # action index -> object body index (sit->chair0, push->box1,
+        # avoid->Can3, step->step4; humanoid_ar_v1.py action_index_map maps
+        # into the flat obj qpos [0, 7, 21, 28] = objects [0, 1, 3, 4])
+        obj_of_action = jnp.asarray([0, 1, 3, 4])
+        has_action = jnp.sum(action_one_hot, axis=-1) > 0
+        a_idx = jnp.argmax(action_one_hot, axis=-1)
+        o_idx = obj_of_action[a_idx]
+        placed = out.at[..., o_idx, :].set(obj_pose)
+        return jnp.where(has_action[..., None, None], placed, out)
 
     def ar_fail_safe(self, state: AREnvState, ctx=None) -> AREnvState:
         """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328)."""

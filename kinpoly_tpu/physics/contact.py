@@ -110,6 +110,129 @@ def floor_contacts(spec, cand_verts: jax.Array, cand_body: np.ndarray,
     )
 
 
+class SceneGeoms(NamedTuple):
+    """Static object collision geoms, host-side stacked (parsed from the
+    chair/box/table/Can/step free bodies of *_all_step.xml)."""
+    gtype: np.ndarray    # (G,) 0=box 1=cylinder
+    size: np.ndarray     # (G, 3)
+    pos: np.ndarray      # (G, 3) geom offset in object frame
+    quat: np.ndarray     # (G, 4)
+    obj: np.ndarray      # (G,) object body index
+
+
+def scene_from_spec(spec) -> SceneGeoms:
+    gtypes, sizes, poss, quats, objs = [], [], [], [], []
+    for oi, obj in enumerate(spec.objects):
+        for g in obj.geoms:
+            if g.gtype not in ("box", "cylinder"):
+                continue
+            gtypes.append(0 if g.gtype == "box" else 1)
+            s = np.zeros(3)
+            s[: len(g.size)] = g.size
+            sizes.append(s)
+            poss.append(g.pos)
+            quats.append(g.quat)
+            objs.append(oi)
+    return SceneGeoms(np.asarray(gtypes, np.int32), np.stack(sizes),
+                      np.stack(poss), np.stack(quats),
+                      np.asarray(objs, np.int32))
+
+
+def _sdf_box(p: jax.Array, half: jax.Array):
+    """Signed distance + outward normal of a point vs an axis-aligned box."""
+    q = jnp.abs(p) - half
+    outside = jnp.maximum(q, 0.0)
+    d_out = jnp.linalg.norm(outside, axis=-1)
+    d_in = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    dist = d_out + d_in
+    # normal: outside -> direction of clamped diff; inside -> axis of least
+    # penetration
+    n_out = outside * jnp.sign(p)
+    n_out = n_out / jnp.linalg.norm(n_out, axis=-1, keepdims=True).clip(1e-9)
+    ax = jnp.argmax(q, axis=-1)
+    n_in = jax.nn.one_hot(ax, 3, dtype=p.dtype) * jnp.sign(
+        jnp.take_along_axis(p, ax[..., None], axis=-1))
+    n = jnp.where((d_out > 0)[..., None], n_out, n_in)
+    return dist, n
+
+
+def _sdf_cylinder(p: jax.Array, size: jax.Array):
+    """Point vs z-aligned cylinder (radius size[0], half-height size[1])."""
+    r, h = size[..., 0], size[..., 1]
+    pr = jnp.linalg.norm(p[..., :2], axis=-1)
+    dr = pr - r
+    dz = jnp.abs(p[..., 2]) - h
+    out_r = jnp.maximum(dr, 0.0)
+    out_z = jnp.maximum(dz, 0.0)
+    d_out = jnp.sqrt(out_r**2 + out_z**2)
+    d_in = jnp.minimum(jnp.maximum(dr, dz), 0.0)
+    dist = d_out + d_in
+    nr = p[..., :2] / pr[..., None].clip(1e-9)
+    n_side = jnp.concatenate([nr, jnp.zeros_like(p[..., 2:3])], axis=-1)
+    n_cap = jnp.concatenate(
+        [jnp.zeros_like(p[..., :2]), jnp.sign(p[..., 2:3])], axis=-1)
+    use_side = jnp.where(d_out > 0, out_r >= out_z, dr >= dz)
+    n = jnp.where(use_side[..., None], n_side, n_cap)
+    return dist, n
+
+
+def object_contacts(scene: SceneGeoms, obj_qpos: jax.Array,
+                    cand_world: jax.Array, cand_body: np.ndarray,
+                    k_top: int, margin: float = 0.001,
+                    friction: float = 1.0) -> ContactSet:
+    """Humanoid candidate verts (already world, (..., V, 3)) vs the object
+    primitives placed at obj_qpos (..., n_obj, 7). Returns top-K block."""
+    g_obj = scene.obj
+    op = obj_qpos[..., g_obj, :3]                     # (..., G, 3)
+    oq = obj_qpos[..., g_obj, 3:7]
+    gp = jnp.asarray(scene.pos, cand_world.dtype)
+    gq = jnp.asarray(scene.quat, cand_world.dtype)
+    # world geom frame
+    wq = tmath.quat_mul(oq, gq)
+    wp = op + tmath.quat_rot_vec(oq, gp)
+
+    # verts in geom frame: (..., G, V, 3)
+    rel = cand_world[..., None, :, :] - wp[..., :, None, :]
+    local = tmath.quat_rot_vec_inv(wq[..., :, None, :], rel)
+
+    size = jnp.asarray(scene.size, cand_world.dtype)[:, None, :]  # (G, 1, 3)
+    d_box, n_box = _sdf_box(local, size)
+    d_cyl, n_cyl = _sdf_cylinder(local, size)
+    is_box = (jnp.asarray(scene.gtype) == 0)[..., :, None]
+    dist = jnp.where(is_box, d_box, d_cyl)
+    n_local = jnp.where(is_box[..., None], n_box, n_cyl)
+    normal = tmath.quat_rot_vec(wq[..., :, None, :], n_local)
+
+    depth = margin - dist                              # (..., G, V)
+    depth_f = depth.reshape(depth.shape[:-2] + (-1,))
+    val, idx = jax.lax.top_k(depth_f, k_top)
+
+    V = cand_world.shape[-2]
+    pos_all = jnp.broadcast_to(cand_world[..., None, :, :], normal.shape)
+    pos_f = pos_all.reshape(pos_all.shape[:-3] + (-1, 3))
+    nrm_f = normal.reshape(normal.shape[:-3] + (-1, 3))
+    body_f = jnp.broadcast_to(jnp.asarray(cand_body), depth.shape[-2:]).reshape(-1)
+
+    pos = jnp.take_along_axis(pos_f, idx[..., None], axis=-2)
+    nrm = jnp.take_along_axis(nrm_f, idx[..., None], axis=-2)
+    body = body_f[idx]
+    return ContactSet(
+        pos=pos, normal=nrm, depth=val, body=body,
+        friction=jnp.full(val.shape, friction, dtype=val.dtype),
+        active=val > 0.0,
+    )
+
+
+def merge_contacts(a: ContactSet, b: ContactSet) -> ContactSet:
+    cat2 = lambda x, y: jnp.concatenate([x, y], axis=-2)
+    cat1 = lambda x, y: jnp.concatenate([x, y], axis=-1)
+    return ContactSet(
+        pos=cat2(a.pos, b.pos), normal=cat2(a.normal, b.normal),
+        depth=cat1(a.depth, b.depth), body=cat1(a.body, b.body),
+        friction=cat1(a.friction, b.friction), active=cat1(a.active, b.active),
+    )
+
+
 def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -> jax.Array:
     """Rows (normal, t1, t2) x K of the contact Jacobian J (..., 3K, nv).
 
@@ -172,14 +295,42 @@ def impedance(depth: jax.Array, solimp=SOLIMP) -> jax.Array:
     return d0 + y * (dmax - d0)
 
 
+def joint_limit_contacts(qpos: jax.Array, jnt_range: np.ndarray, k_top: int,
+                         nv: int = 75):
+    """Joint-limit constraints as contact-like rows (MuJoCo limit
+    constraints; the reference model limits every hinge to its XML range).
+
+    Returns (J (..., 3K, nv), depth (..., K), active (..., K)) where only the
+    first row of each 3-row block is live (friction rows are dead)."""
+    q = qpos[..., 7:]
+    lo = jnp.asarray(jnt_range[:, 0], qpos.dtype)
+    hi = jnp.asarray(jnt_range[:, 1], qpos.dtype)
+    d_lo = lo - q            # >0: below lower bound
+    d_hi = q - hi            # >0: above upper bound
+    depth_all = jnp.maximum(d_lo, d_hi)
+    sign = jnp.where(d_lo > d_hi, 1.0, -1.0)
+
+    val, idx = jax.lax.top_k(depth_all, k_top)
+    sgn = jnp.take_along_axis(sign, idx, axis=-1)
+    active = val > 0.0
+
+    rows = jax.nn.one_hot(idx + 6, nv, dtype=qpos.dtype) * sgn[..., None]
+    J = jnp.zeros(rows.shape[:-2] + (k_top, 3, nv), qpos.dtype)
+    J = J.at[..., 0, :].set(rows)
+    return J.reshape(rows.shape[:-2] + (3 * k_top, nv)), val, active
+
+
 def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
                    qvel: jax.Array, depth: jax.Array, active: jax.Array,
                    friction: jax.Array, dt: float,
-                   solref=SOLREF, solimp=SOLIMP, iters: int = 30):
+                   solref=SOLREF, solimp=SOLIMP, iters: int = 30,
+                   row_live: jax.Array | None = None):
     """Projected Gauss-Seidel on contact-space forces.
 
     M_solve: callable rhs (..., nv[, k]) -> M^-1 rhs
     J: (..., 3K, nv); depth/active/friction: (..., K)
+    row_live: optional (3K,) bool — rows that carry actual constraints
+    (joint-limit blocks have dead friction rows).
     Returns qfrc_constraint (..., nv).
     """
     nK = depth.shape[-1]
@@ -206,6 +357,8 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
     d_rows = jnp.repeat(d, 3, axis=-1)
     R = (1.0 - d_rows) / jnp.maximum(d_rows, 1e-6) * jnp.maximum(diagA, 1e-8)
     R = jnp.where(jnp.repeat(active, 3, axis=-1), R, 1e8)   # kill inactive rows
+    if row_live is not None:
+        R = jnp.where(row_live, R, 1e8)                      # kill dead rows
 
     # 3x3 diagonal blocks (with regularisation) and their explicit inverses
     A3 = A.reshape(A.shape[:-2] + (nK, 3, nK, 3))

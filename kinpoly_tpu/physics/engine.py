@@ -60,9 +60,13 @@ class PhysicsModel:
     ctrl: ControlParams
     cand_verts: np.ndarray    # (N, 3) body-local contact candidate verts
     cand_body: np.ndarray     # (N,)
+    scene: object = None      # ct.SceneGeoms of the interactable objects
     n_substeps: int = 15
     contact_top_k: int = 12
+    object_top_k: int = 8
+    limit_top_k: int = 6
     contact_iters: int = 20
+    with_joint_limits: bool = True
     friction: float = 1.0
 
     @property
@@ -74,13 +78,14 @@ class PhysicsModel:
         return self.spec.timestep * self.n_substeps
 
 
-def build_model(spec, ctrl: ControlParams, **kw) -> PhysicsModel:
+def build_model(spec, ctrl: ControlParams, with_objects: bool = False, **kw) -> PhysicsModel:
     cand_verts, cand_body = ct.select_contact_vertices(
         spec, per_body=ct.FOOT_BODIES, default_k=4
     )
+    scene = ct.scene_from_spec(spec) if (with_objects and spec.objects) else None
     return PhysicsModel(
         spec=spec, tables=dyn.build_tables(spec), ctrl=ctrl,
-        cand_verts=cand_verts, cand_body=cand_body, **kw,
+        cand_verts=cand_verts, cand_body=cand_body, scene=scene, **kw,
     )
 
 
@@ -135,8 +140,12 @@ def integrate(qpos, qvel, dt):
 
 
 def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
-            base_rot, jkp=None, jkd=None, with_contacts: bool = True) -> SimState:
-    """One 450 Hz physics substep with PD control."""
+            base_rot, jkp=None, jkd=None, with_contacts: bool = True,
+            obj_qpos=None) -> SimState:
+    """One 450 Hz physics substep with PD control.
+
+    `obj_qpos` (..., n_obj, 7): poses of the interactable objects (static
+    collision geometry; requires model.scene)."""
     spec, tables = model.spec, model.tables
     qpos, qvel = state.qpos, state.qvel
     dtype = qpos.dtype
@@ -162,15 +171,43 @@ def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
     qacc = m_solve(tau - C)
 
     if with_contacts:
+        cand = jnp.asarray(model.cand_verts, dtype)
         cs = ct.floor_contacts(
-            spec, jnp.asarray(model.cand_verts, dtype), model.cand_body,
+            spec, cand, model.cand_body,
             ks.fk_res.xpos, ks.fk_res.xquat, model.contact_top_k,
             margin=spec.geom_margin, friction=model.friction,
         )
+        n_live = [cs.depth.shape[-1]]
+        if model.scene is not None and obj_qpos is not None:
+            bq = ks.fk_res.xquat[..., model.cand_body, :]
+            bp = ks.fk_res.xpos[..., model.cand_body, :]
+            world = bp + tmath.quat_rot_vec(bq, cand)
+            ocs = ct.object_contacts(
+                model.scene, obj_qpos, world, model.cand_body,
+                model.object_top_k, margin=spec.geom_margin,
+                friction=model.friction)
+            cs = ct.merge_contacts(cs, ocs)
+            n_live.append(ocs.depth.shape[-1])
+
         J = ct.contact_jacobian(cs, ks.phi, tables.anc_dof_body)
+        depth, active, friction = cs.depth, cs.active, cs.friction
+        row_live = None
+
+        if model.with_joint_limits:
+            Jl, dl, al = ct.joint_limit_contacts(
+                qpos, spec.jnt_range, model.limit_top_k, nv=M.shape[-1])
+            J = jnp.concatenate([J, Jl], axis=-2)
+            depth = jnp.concatenate([depth, dl], axis=-1)
+            active = jnp.concatenate([active, al], axis=-1)
+            friction = jnp.concatenate(
+                [friction, jnp.zeros_like(dl)], axis=-1)
+            live_contact = np.ones(3 * sum(n_live), bool)
+            live_limit = np.tile([True, False, False], model.limit_top_k)
+            row_live = jnp.asarray(np.concatenate([live_contact, live_limit]))
+
         qfrc_con = ct.solve_contacts(
-            m_solve, J, qacc, qvel, cs.depth, cs.active, cs.friction,
-            model.dt, iters=model.contact_iters,
+            m_solve, J, qacc, qvel, depth, active, friction,
+            model.dt, iters=model.contact_iters, row_live=row_live,
         )
         qacc = qacc + m_solve(qfrc_con)
 
@@ -181,7 +218,7 @@ def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
 
 def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
                  expert_kin_pose: jax.Array, base_rot: jax.Array,
-                 with_contacts: bool = True) -> SimState:
+                 with_contacts: bool = True, obj_qpos=None) -> SimState:
     """One 30 Hz control step = n_substeps PD substeps with a fixed action
     (reference ``do_simulation``:506). `action` layout: [69 joint ctrl,
     6 rfc, (optional 2*15 meta-pd)]."""
@@ -201,14 +238,15 @@ def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
             kp = jnp.asarray(c.jkp, dtype) * jnp.clip(meta[..., i, None] + 1, 0, 10)
             kd = jnp.asarray(c.jkd, dtype) * jnp.clip(meta[..., i + model.n_substeps, None] + 1, 0, 10)
             return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
-                           jkp=kp, jkd=kd, with_contacts=with_contacts), None
+                           jkp=kp, jkd=kd, with_contacts=with_contacts,
+                           obj_qpos=obj_qpos), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(model.n_substeps))
         return state
 
     def body(s, _):
         return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
-                       with_contacts=with_contacts), None
+                       with_contacts=with_contacts, obj_qpos=obj_qpos), None
 
     state, _ = jax.lax.scan(body, state, None, length=model.n_substeps)
     return state
