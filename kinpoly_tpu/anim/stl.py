@@ -24,6 +24,11 @@ def read_stl(path) -> tuple[np.ndarray, np.ndarray]:
         data = f.read()
     if data[:5] == b"solid" and b"facet" in data[:200]:
         return _read_ascii_stl(data)
+    from kinpoly_tpu.utils import native
+
+    fast = native.parse_stl(data)
+    if fast is not None:
+        return fast
     (ntri,) = struct.unpack_from("<I", data, 80)
     rec = np.frombuffer(data, dtype=np.uint8, count=ntri * 50, offset=84)
     rec = rec.reshape(ntri, 50)

@@ -146,6 +146,17 @@ def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
 
     `obj_qpos` (..., n_obj, 7): poses of the interactable objects (static
     collision geometry; requires model.scene)."""
+    with jax.default_matmul_precision("highest"):
+        return _substep(model, state, ctrl_joint, vf, base_pos, base_rot,
+                        jkp, jkd, with_contacts, obj_qpos)
+
+
+def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
+             base_rot, jkp=None, jkd=None, with_contacts: bool = True,
+             obj_qpos=None) -> SimState:
+    """Physics substep body. All matmuls/einsums here run at HIGHEST
+    precision: TPU f32 matmuls default to bf16 passes, which corrupts the
+    75x75 CRBA mass matrix enough to break its Cholesky (NaNs)."""
     spec, tables = model.spec, model.tables
     qpos, qvel = state.qpos, state.qvel
     dtype = qpos.dtype
