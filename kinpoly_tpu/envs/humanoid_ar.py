@@ -198,6 +198,13 @@ class HumanoidAREnv:
         sim = eng.control_step(self.model, prev_sim, cc_action,
                                next_qpos[..., 7:], self.base_rot,
                                obj_qpos=obj_qpos)
+        # non-finite guard (see humanoid_im.step): snap to the AR target and
+        # terminate instead of letting NaNs block the auto-reset
+        bad = ~(jnp.isfinite(sim.qpos).all(axis=-1)
+                & jnp.isfinite(sim.qvel).all(axis=-1))
+        sim = eng.SimState(
+            qpos=jnp.where(bad[..., None], next_qpos, sim.qpos),
+            qvel=jnp.where(bad[..., None], jnp.zeros_like(sim.qvel), sim.qvel))
 
         new_t = state.cur_t + 1
         c = self.clip(state, ctx)
@@ -212,7 +219,7 @@ class HumanoidAREnv:
         # termination (humanoid_ar_v1.py:295-308): sum-norm body diff
         diff = (cur_wbpos - target.wbpos.reshape(cur_wbpos.shape)) * self.jpos_diffw[:, None]
         body_diff = jnp.linalg.norm(diff, axis=-1).sum(axis=-1)
-        fail = body_diff > self.body_diff_thresh
+        fail = (body_diff > self.body_diff_thresh) | bad
         if self.mode == "train" and not self.wild:
             t_idx = jnp.minimum(new_t, c.qpos.shape[0] - 1)
             gt_wb = c.gt_wbpos[t_idx].reshape(cur_wbpos.shape)

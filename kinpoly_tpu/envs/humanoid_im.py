@@ -261,6 +261,15 @@ class HumanoidImEnv:
         tgt = self.expert_frame(state, delta_t=1)
         next_sim = eng.control_step(self.model, state.sim, action,
                                     tgt.qpos[..., 7:], self.base_rot)
+        # non-finite guard (reference humanoid_im.py:526-529 catches MuJoCo
+        # instabilities): a blown-up env is snapped back to the expert frame
+        # and terminated, so NaNs can never poison the batch or block resets
+        bad = ~(jnp.isfinite(next_sim.qpos).all(axis=-1)
+                & jnp.isfinite(next_sim.qvel).all(axis=-1))
+        safe = self.expert_frame(state, delta_t=0)
+        next_sim = eng.SimState(
+            qpos=jnp.where(bad[..., None], safe.qpos, next_sim.qpos),
+            qvel=jnp.where(bad[..., None], safe.qvel, next_sim.qvel))
         fk_res = fklib.fk(spec, next_sim.qpos)
 
         new_t = state.cur_t + 1
@@ -278,6 +287,7 @@ class HumanoidImEnv:
             fail = head_z < clip.head_height_lb - 0.1
         else:
             fail = next_sim.qpos[..., 2] < clip.height_lb - 0.1
+        fail = fail | bad
 
         end = (new_t >= cfg.env_episode_len) | (
             new_t + state.start_ind >= clip.length + cfg.env_expert_trail_steps

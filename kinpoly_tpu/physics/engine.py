@@ -68,6 +68,12 @@ class PhysicsModel:
     contact_iters: int = 20
     with_joint_limits: bool = True
     friction: float = 1.0
+    # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
+    # this stops the v^2 Coriolis feedback loop that can take a blown-up env
+    # from ~1e2 to inf within one 15-substep control step (the reference
+    # wraps MuJoCo's step in try/except for the same failure class,
+    # humanoid_im.py:526-529)
+    qvel_clip: float = 100.0
 
     @property
     def dt(self) -> float:
@@ -223,6 +229,8 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         qacc = qacc + m_solve(qfrc_con)
 
     qvel_new = qvel + qacc * model.dt
+    if model.qvel_clip:
+        qvel_new = jnp.clip(qvel_new, -model.qvel_clip, model.qvel_clip)
     qpos_new = integrate(qpos, qvel_new, model.dt)
     return SimState(qpos=qpos_new, qvel=qvel_new)
 
