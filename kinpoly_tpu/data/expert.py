@@ -117,6 +117,22 @@ def index_clip(bank: ExpertClip, i: jax.Array) -> ExpertClip:
 def frame(clip: ExpertClip, t: jax.Array) -> ExpertClip:
     """Gather frame t (clamped to true length - 1, reference
     ``get_expert_index`` non-cyclic semantics) from every per-frame field;
-    scalar fields pass through."""
+    scalar fields pass through.
+
+    NOTE: when the clip came out of `index_clip(bank, i)` with a traced `i`
+    inside vmap, use `bank_frame` instead — XLA:TPU miscompiles the chained
+    dynamic gathers (x[i][t]) when the bank axis has size 1."""
     idx = jnp.minimum(t, clip.length - 1)
     return jax.tree.map(lambda x: x[idx] if x.ndim > 0 else x, clip)
+
+
+def bank_frame(bank: ExpertClip, clip_idx: jax.Array, t: jax.Array) -> ExpertClip:
+    """Fused two-level gather bank[i, min(t, len_i - 1)].
+
+    A single advanced-index gather per field. The obvious
+    ``frame(index_clip(bank, i), t)`` chains two dynamic gathers, which an
+    XLA:TPU bug corrupts under vmap when the clip axis has size 1 (verified
+    empirically on v5e; x[i, t] lowers to one gather and is correct)."""
+    idx = jnp.minimum(t, bank.length[clip_idx] - 1)
+    return jax.tree.map(
+        lambda x: x[clip_idx, idx] if x.ndim >= 2 else x[clip_idx], bank)

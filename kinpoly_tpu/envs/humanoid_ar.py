@@ -135,16 +135,26 @@ class HumanoidAREnv:
     def clip(self, state: AREnvState, ctx=None) -> ARContext:
         return jax.tree.map(lambda x: x[state.clip_idx], self._ctx(ctx))
 
+    def _at(self, ctx, state, field: str, t):
+        """Fused ctx[field][clip_idx, min(t, T-1)] gather. Chaining
+        clip()[field][t] (two dynamic gathers) hits an XLA:TPU vmap
+        miscompile when the clip axis has size 1 — see
+        data/expert.bank_frame."""
+        x = getattr(self._ctx(ctx), field)
+        return x[state.clip_idx, jnp.minimum(t, x.shape[1] - 1)]
+
     # -- observation (get_ar_obs_v1, humanoid_ar_v1.py:133) ------------------
 
     def get_obs(self, state: AREnvState, ctx=None):
-        c = self.clip(state, ctx)
-        t = jnp.minimum(state.cur_t, c.qpos.shape[0] - 1)
+        t = state.cur_t
         obs, _ = ar_obs(
             self.model.spec, self.kin_cfg,
             state.sim.qpos, state.sim.qvel,
-            c.head_pose[t], c.head_vels[t], c.obj_pose[t],
-            c.obj_head_relative_poses[t], c.action_one_hot[0],
+            self._at(ctx, state, "head_pose", t),
+            self._at(ctx, state, "head_vels", t),
+            self._at(ctx, state, "obj_pose", t),
+            self._at(ctx, state, "obj_head_relative_poses", t),
+            self._at(ctx, state, "action_one_hot", 0),
             as_policy=True, noise=None,
         )
         return obs
@@ -192,8 +202,9 @@ class HumanoidAREnv:
             cc_action = cc_mean + jnp.exp(cc_log_std) * jax.random.normal(
                 k_cc, cc_mean.shape, cc_mean.dtype)
 
-        c0 = self.clip(state, ctx)
-        obj_qpos = self.convert_obj_qpos(c0.action_one_hot[0], c0.obj_pose[0]) \
+        obj_qpos = self.convert_obj_qpos(
+            self._at(ctx, state, "action_one_hot", 0),
+            self._at(ctx, state, "obj_pose", 0)) \
             if self.model.scene is not None else None
         sim = eng.control_step(self.model, prev_sim, cc_action,
                                next_qpos[..., 7:], self.base_rot,
@@ -214,15 +225,14 @@ class HumanoidAREnv:
 
         reward, rinfo = self._reward(
             state, sim, fk_cur, cur_bquat, prev_bquat, prev_hpos,
-            tgt_bquat, target, c, new_t)
+            tgt_bquat, target, ctx, new_t)
 
         # termination (humanoid_ar_v1.py:295-308): sum-norm body diff
         diff = (cur_wbpos - target.wbpos.reshape(cur_wbpos.shape)) * self.jpos_diffw[:, None]
         body_diff = jnp.linalg.norm(diff, axis=-1).sum(axis=-1)
         fail = (body_diff > self.body_diff_thresh) | bad
         if self.mode == "train" and not self.wild:
-            t_idx = jnp.minimum(new_t, c.qpos.shape[0] - 1)
-            gt_wb = c.gt_wbpos[t_idx].reshape(cur_wbpos.shape)
+            gt_wb = self._at(ctx, state, "gt_wbpos", new_t).reshape(cur_wbpos.shape)
             gt_diff = jnp.linalg.norm(
                 (cur_wbpos - gt_wb) * self.jpos_diffw[:, None], axis=-1).sum(axis=-1)
             fail = fail | (gt_diff > self.body_diff_gt_thresh)
@@ -248,12 +258,12 @@ class HumanoidAREnv:
     # -- reward dynamic_supervision_v1 (reward_function.py:931-996) ----------
 
     def _reward(self, state, sim, fk_cur, cur_bquat, prev_bquat, prev_hpos,
-                tgt_bquat, target: TargetFrame, c: ARContext, new_t):
+                tgt_bquat, target: TargetFrame, ctx, new_t):
         rw = self.rw
         dt = self.model.control_dt
-        ind = jnp.minimum(new_t, c.qpos.shape[0] - 1)
+        ind = new_t
 
-        tgt_hpose = c.head_pose[ind]
+        tgt_hpose = self._at(ctx, state, "head_pose", ind)
         cur_hpose = self._head_pose(fk_cur)
 
         hp_dist = jnp.linalg.norm(cur_hpose[..., :3] - tgt_hpose[..., :3], axis=-1)
@@ -272,8 +282,8 @@ class HumanoidAREnv:
         p_reward = jnp.exp(-rw.k_p * pose_quat_diff**2)
         jp_reward = jnp.exp(-rw.k_jp * pose_pos_diff**2)
 
-        gt_bquat = c.bquat[ind]
-        gt_prev_bquat = c.bquat[jnp.maximum(ind - 1, 0)]
+        gt_bquat = self._at(ctx, state, "bquat", ind)
+        gt_prev_bquat = self._at(ctx, state, "bquat", jnp.maximum(ind - 1, 0))
         pose_gt_diff = multi_quat_norm_v2(
             tmath.multi_quat_diff(gt_bquat, cur_bquat)).mean(axis=-1)
         gt_p_reward = jnp.exp(-rw.k_act_p * pose_gt_diff)
@@ -339,7 +349,8 @@ class HumanoidAREnv:
 
     def ar_fail_safe(self, state: AREnvState, ctx=None) -> AREnvState:
         """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328)."""
-        c = self.clip(state, ctx)
-        t = jnp.minimum(state.cur_t + 1, c.qpos.shape[0] - 1)
-        return state._replace(sim=eng.SimState(qpos=c.ar_qpos[t], qvel=c.ar_qvel[t]))
+        t = state.cur_t + 1
+        return state._replace(sim=eng.SimState(
+            qpos=self._at(ctx, state, "ar_qpos", t),
+            qvel=self._at(ctx, state, "ar_qvel", t)))
 

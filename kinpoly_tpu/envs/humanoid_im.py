@@ -184,8 +184,10 @@ class HumanoidImEnv:
         return exlib.index_clip(self.bank, state.clip_idx)
 
     def expert_frame(self, state: EnvState, delta_t: int = 0) -> exlib.ExpertClip:
-        clip = self.expert(state)
-        return exlib.frame(clip, state.start_ind + state.cur_t + delta_t)
+        # fused bank gather (see exlib.bank_frame: avoids an XLA:TPU chained
+        # dynamic-gather miscompile under vmap)
+        return exlib.bank_frame(self.bank, state.clip_idx,
+                                state.start_ind + state.cur_t + delta_t)
 
     # -- observation -------------------------------------------------------
 
@@ -303,8 +305,7 @@ class HumanoidImEnv:
 
     def reset(self, rng: jax.Array, clip_idx: jax.Array, start_ind=0):
         cfg = self.cfg
-        clip = exlib.index_clip(self.bank, clip_idx)
-        f0 = exlib.frame(clip, jnp.asarray(start_ind, jnp.int32))
+        f0 = exlib.bank_frame(self.bank, clip_idx, jnp.asarray(start_ind, jnp.int32))
         rng, k1, k2, k3 = jax.random.split(rng, 4)
 
         init_qpos = f0.qpos
