@@ -324,7 +324,8 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
                    qvel: jax.Array, depth: jax.Array, active: jax.Array,
                    friction: jax.Array, dt: float,
                    solref=SOLREF, solimp=SOLIMP, iters: int = 30,
-                   row_live: jax.Array | None = None):
+                   row_live: jax.Array | None = None,
+                   use_pallas: bool = False):
     """Projected Gauss-Seidel on contact-space forces.
 
     M_solve: callable rhs (..., nv[, k]) -> M^-1 rhs
@@ -393,6 +394,13 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
     def sweep(_, f):
         return jax.lax.fori_loop(0, nK, gs_block, f)
 
-    f0 = jnp.zeros_like(rhs)
-    f = jax.lax.fori_loop(0, iters, sweep, f0)
+    if use_pallas and A.ndim == 3:
+        # explicit-batch path (N, C, C): the whole PSOR iteration runs in one
+        # Pallas kernel with everything VMEM-resident (pallas_pgs.py)
+        from kinpoly_tpu.physics.pallas_pgs import pgs_solve_pallas
+
+        f = pgs_solve_pallas(A, rhs, Dinv, R, friction, active, iters=iters)
+    else:
+        f0 = jnp.zeros_like(rhs)
+        f = jax.lax.fori_loop(0, iters, sweep, f0)
     return jnp.einsum("...cv,...c->...v", J, f)

@@ -142,6 +142,9 @@ class UHCAgent:
                 reward_mean=traj.rewards.mean(),
                 episode_done=traj.masks.size - traj.masks.sum(),
                 fail_frac=traj.fails.mean(),
+                # LoggerRL-style per-component decomposition (avg_c_info):
+                # [pose, vel, ee, com, vf] for world_rfc_implicit
+                reward_components=traj.reward_info.mean(axis=(0, 1)),
             )
             return carry, ts, new_norm, metrics, traj.percents, traj.clips, (traj.masks == 0)
 
@@ -181,7 +184,8 @@ class UHCAgent:
             self.seen[c] = True
 
         self.epoch += 1
-        out = {k: float(v) for k, v in metrics.items()}
+        out = {k: (np.asarray(v).tolist() if np.asarray(v).ndim else float(v))
+               for k, v in metrics.items()}
         out["T_iter"] = time.time() - t0
         if self.out_dir and self.epoch % cfg.save_model_interval == 0:
             self.save_checkpoint()

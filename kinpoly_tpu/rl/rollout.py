@@ -33,6 +33,7 @@ class Trajectory(NamedTuple):
     ends: jax.Array
     percents: jax.Array     # episode progress fraction at each step
     clips: jax.Array        # clip index the env was tracking (int32)
+    reward_info: jax.Array  # per-component reward decomposition (LoggerRL avg_c_info)
 
 
 class RolloutState(NamedTuple):
@@ -88,6 +89,7 @@ def make_rollout(env, policy_apply: Callable, n_steps: int,
                 log_probs=log_prob, raw_obs=c.obs,
                 fails=info["fail"], ends=info["end"],
                 percents=info["percent"], clips=cur_clips,
+                reward_info=info["reward_info"],
             )
             return RolloutState(env_state=env_state, obs=next_obs, rng=rng), out
 
