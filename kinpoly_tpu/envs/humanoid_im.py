@@ -303,13 +303,26 @@ class HumanoidImEnv:
         info = dict(fail=fail, end=end, percent=percent, reward_info=rinfo)
         return new_state, obs, reward, done, info
 
-    def reset(self, rng: jax.Array, clip_idx: jax.Array, start_ind=0):
+    def reset(self, rng: jax.Array, clip_idx: jax.Array, start_ind=0,
+              deterministic: bool = False):
+        """`deterministic=True` starts exactly from the expert frame (eval
+        semantics: the reference's test-mode reset skips reactive init and
+        noise, humanoid_im.py:590-595)."""
         cfg = self.cfg
         f0 = exlib.bank_frame(self.bank, clip_idx, jnp.asarray(start_ind, jnp.int32))
         rng, k1, k2, k3 = jax.random.split(rng, 4)
 
         init_qpos = f0.qpos
         init_qvel = f0.qvel
+        if deterministic:
+            sim = eng.SimState(qpos=init_qpos, qvel=init_qvel)
+            state = EnvState(
+                sim=sim, cur_t=jnp.asarray(0, jnp.int32),
+                start_ind=jnp.asarray(start_ind, jnp.int32),
+                prev_bquat=fklib.body_quat_sim(self.model.spec, init_qpos),
+                clip_idx=jnp.asarray(clip_idx, jnp.int32),
+                done=jnp.asarray(False), fail=jnp.asarray(False), rng=rng)
+            return state, self.get_obs(state)
         if cfg.env_init_noise > 0:
             noise = cfg.env_init_noise * jax.random.normal(k1, init_qpos[..., 7:].shape,
                                                            init_qpos.dtype)

@@ -65,7 +65,10 @@ def mpjpe(jpos_pred: jax.Array, jpos_gt: jax.Array) -> jax.Array:
 
 
 def accel_dist(jpos_pred: jax.Array, jpos_gt: jax.Array) -> jax.Array:
-    """Acceleration error x1000 (compute_error_accel, :45-73)."""
+    """Acceleration error x1000 (compute_error_accel, :45-73); 0 for
+    sequences too short to difference twice."""
+    if jpos_pred.shape[0] < 3:
+        return jnp.zeros((), jpos_pred.dtype)
     a_g = jpos_gt[:-2] - 2 * jpos_gt[1:-1] + jpos_gt[2:]
     a_p = jpos_pred[:-2] - 2 * jpos_pred[1:-1] + jpos_pred[2:]
     return jnp.linalg.norm(a_p - a_g, axis=2).mean() * 1000.0

@@ -97,7 +97,7 @@ class AgentAR:
         self._rollout = roa.make_ar_rollout(env, self.policy, cfg.rollout_steps)
         self._jit_full_sup = jax.jit(self._full_sup_step)
         self._jit_init_sup = jax.jit(self._init_sup_step)
-        self._jit_build_ctx = jax.jit(self._build_context)
+        self._jit_build_ctx = jax.jit(self._build_context, static_argnums=(2,))
         self._jit_rl = jax.jit(self._rl_and_step_update)
 
         # per-take success tracking for adaptive window sampling

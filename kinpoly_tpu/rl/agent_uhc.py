@@ -231,7 +231,8 @@ class UHCAgent:
 
         @jax.jit
         def run(ts, norm):
-            state, obs = jax.vmap(env.reset)(keys, clips)
+            state, obs = jax.vmap(
+                lambda k, i: env.reset(k, i, deterministic=True))(keys, clips)
 
             def step(carry, _):
                 state, obs, running = carry
