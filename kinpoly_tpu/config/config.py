@@ -224,6 +224,11 @@ class KinPolyConfig:
             sampling_freq=ps.get("sampling_freq", 0.5),
             seed=self.seed,
             save_model_interval=ps.get("save_model_interval", 50),
+            rl_update=ps.get("rl_update", True),
+            step_update=ps.get("step_update", True),
+            step_update_dyna=ps.get("step_update_dyna", False),
+            init_update=ps.get("init_update", False),
+            full_update=ps.get("full_update", False),
         )
 
     def update(self, args):

@@ -62,6 +62,12 @@ class ARTrainConfig:
     sampling_freq: float = 0.5
     seed: int = 4
     save_model_interval: int = 50
+    # update-mode switches (policy_specs, kin_poly.yml:62-66)
+    rl_update: bool = True
+    step_update: bool = True
+    step_update_dyna: bool = False
+    init_update: bool = False
+    full_update: bool = False
 
 
 class AgentAR:
@@ -221,28 +227,43 @@ class AgentAR:
             params = optax.apply_updates(params, pu)
             return (params, pol_state, value_params, val_state), (pl, vl)
 
-        ts = (params, pol_opt_state, value_params, val_opt_state)
-        ts, (pls, vls) = jax.lax.scan(
-            ppo_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
-        params, pol_opt_state, value_params, val_opt_state = ts
+        if cfg.rl_update:
+            ts = (params, pol_opt_state, value_params, val_opt_state)
+            ts, (pls, vls) = jax.lax.scan(
+                ppo_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
+            params, pol_opt_state, value_params, val_opt_state = ts
+        else:
+            pls = vls = jnp.zeros((1,))
 
-        # step_update: num_step_update supervised BC epochs through the
-        # kinematic integrator (agent_ar.py:720-726)
-        def bc_epoch(carry2, _):
-            params, opt_state = carry2
+        # step_update: supervised BC epochs through the kinematic integrator
+        # toward the GT next pose (agent_ar.py:720-726); the 'dyna' variant
+        # supervises toward the *simulated* result pose instead
+        def make_bc_epoch(target_qpos):
+            def bc_epoch(carry2, _):
+                params, opt_state = carry2
 
-            def loss_fn(p):
-                loss, _ = self.policy.step_update_loss(
-                    p, traj.obs, prev_masks, traj.curr_qpos, traj.gt_qpos)
-                return loss
+                def loss_fn(p):
+                    loss, _ = self.policy.step_update_loss(
+                        p, traj.obs, prev_masks, traj.curr_qpos, target_qpos)
+                    return loss
 
-            loss, g = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.sup_opt.update(g, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+                loss, g = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.sup_opt.update(g, opt_state)
+                return (optax.apply_updates(params, updates), opt_state), loss
 
-        (params, sup_state), bc_losses = jax.lax.scan(
-            bc_epoch, (params, sup_opt_state), None,
-            length=cfg.num_step_update)
+            return bc_epoch
+
+        sup_state = sup_opt_state
+        bc_losses = jnp.zeros((1,))
+        if cfg.step_update:
+            (params, sup_state), bc_losses = jax.lax.scan(
+                make_bc_epoch(traj.gt_qpos), (params, sup_state), None,
+                length=cfg.num_step_update)
+        if cfg.step_update_dyna:
+            (params, sup_state), dyna_losses = jax.lax.scan(
+                make_bc_epoch(traj.res_qpos), (params, sup_state), None,
+                length=cfg.num_step_update)
+            bc_losses = jnp.concatenate([bc_losses, dyna_losses])
 
         metrics = dict(
             reward_mean=traj.rewards.mean(),
@@ -270,6 +291,18 @@ class AgentAR:
          percents, clips, dones) = self._jit_rl(
             self.params, self.value_params, self.pol_opt_state,
             self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl)
+
+        # host-side supervised extras (agent_ar.update_params:682 dispatch)
+        if cfg.init_update:
+            for _ in range(cfg.num_init_update):
+                b = self.dataset.get_batch(self.np_rng, cfg.batch_size)
+                self.params, self.sup_opt_state, _, _ = self._jit_init_sup(
+                    self.params, self.sup_opt_state, b)
+        if cfg.full_update:
+            b = self.dataset.get_batch(self.np_rng, cfg.batch_size)
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.sup_opt_state, _, _ = self._jit_full_sup(
+                self.params, self.sup_opt_state, b, k, 0.3)
 
         self.epoch += 1
         out = {k: float(v) for k, v in metrics.items()}

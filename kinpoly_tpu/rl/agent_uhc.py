@@ -247,11 +247,13 @@ class UHCAgent:
                 obs3 = jnp.where(running[:, None], obs2, obs)
                 still = running & ~done
                 succ_now = running & info["end"] & ~info["fail"]
-                return (state3, obs3, still), succ_now
+                pct_now = jnp.where(running, info["percent"], 0.0)
+                return (state3, obs3, still), (succ_now, pct_now)
 
-            (_, _, _), succs = jax.lax.scan(
+            (_, _, _), (succs, pcts) = jax.lax.scan(
                 step, (state, obs, jnp.ones(n, bool)), None, length=max_steps)
-            return succs.any(axis=0)
+            return succs.any(axis=0), pcts.max(axis=0)
 
-        succ = np.asarray(run(self.train_state, self.norm))
-        return float(succ.mean()), succ
+        succ, pct = run(self.train_state, self.norm)
+        succ = np.asarray(succ)
+        return float(succ.mean()), dict(succ=succ, percent=np.asarray(pct))

@@ -64,10 +64,11 @@ def main():
 
     agent = UHCAgent(env, cfg.train_config())
     agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
-    cov, succ = agent.eval_coverage(max_steps=t_max + 2)
-    for name, s in zip(takes.keys(), succ):
-        logger.info(f"{name}: {'OK' if s else 'FAIL'}")
-    logger.info(f"coverage: {cov:.4f} over {len(succ)} clips")
+    cov, detail = agent.eval_coverage(max_steps=t_max + 2)
+    for name, ok, pct in zip(takes.keys(), detail["succ"], detail["percent"]):
+        logger.info(f"{name}: {'OK' if ok else 'FAIL'}  tracked {pct:.1%}")
+    logger.info(f"coverage: {cov:.4f} over {len(detail['succ'])} clips  "
+                f"mean tracked {float(detail['percent'].mean()):.1%}")
 
 
 if __name__ == "__main__":

@@ -97,8 +97,9 @@ def main():
             f"iter {i}  R {metrics['reward_mean']:.4f}  "
             f"fail {metrics['fail_frac']:.3f}  T {metrics['T_iter']:.2f}s")
         if (i + 1) % 200 == 0:
-            cov, _ = agent.eval_coverage()
-            logger.info(f"iter {i}  coverage {cov:.3f}")
+            cov, detail = agent.eval_coverage()
+            logger.info(f"iter {i}  coverage {cov:.3f}  "
+                        f"mean tracked {float(detail['percent'].mean()):.1%}")
 
 
 if __name__ == "__main__":
