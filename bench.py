@@ -50,7 +50,9 @@ def build():
         spec = parse_humanoid(
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml"
         )
-        model = eng.build_model(spec, uhc_control_params(spec))
+        model = eng.build_model(
+            spec, uhc_control_params(spec),
+            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS", "0"))))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)
 

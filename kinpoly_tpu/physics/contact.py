@@ -394,12 +394,18 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
     def sweep(_, f):
         return jax.lax.fori_loop(0, nK, gs_block, f)
 
-    if use_pallas and A.ndim == 3:
-        # explicit-batch path (N, C, C): the whole PSOR iteration runs in one
-        # Pallas kernel with everything VMEM-resident (pallas_pgs.py)
-        from kinpoly_tpu.physics.pallas_pgs import pgs_solve_pallas
+    if use_pallas:
+        # vmap-aware Pallas path: unbatched trace falls back to the lax
+        # iteration, batched (vmapped env) calls run the whole batch in one
+        # Pallas kernel (pallas_pgs.make_vmappable_solver)
+        from kinpoly_tpu.physics.pallas_pgs import (make_vmappable_solver,
+                                                    pgs_solve_pallas)
 
-        f = pgs_solve_pallas(A, rhs, Dinv, R, friction, active, iters=iters)
+        if A.ndim == 3:
+            f = pgs_solve_pallas(A, rhs, Dinv, R, friction, active, iters=iters)
+        else:
+            f = make_vmappable_solver(iters)(
+                A, rhs, Dinv, R, friction, active.astype(rhs.dtype))
     else:
         f0 = jnp.zeros_like(rhs)
         f = jax.lax.fori_loop(0, iters, sweep, f0)

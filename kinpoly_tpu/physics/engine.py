@@ -68,6 +68,8 @@ class PhysicsModel:
     contact_iters: int = 20
     with_joint_limits: bool = True
     friction: float = 1.0
+    # run the PSOR contact solve as a Pallas kernel (TPU; vmap-aware)
+    use_pallas_pgs: bool = False
     # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
     # this stops the v^2 Coriolis feedback loop that can take a blown-up env
     # from ~1e2 to inf within one 15-substep control step (the reference
@@ -225,6 +227,7 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         qfrc_con = ct.solve_contacts(
             m_solve, J, qacc, qvel, depth, active, friction,
             model.dt, iters=model.contact_iters, row_live=row_live,
+            use_pallas=model.use_pallas_pgs,
         )
         qacc = qacc + m_solve(qfrc_con)
 

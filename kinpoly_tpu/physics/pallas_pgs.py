@@ -62,6 +62,48 @@ def _kernel(A_ref, rhs_ref, Dinv_ref, R_ref, mu_ref, act_ref, f_ref,
     f_ref[:] = jax.lax.fori_loop(0, iters, sweep, f0)
 
 
+@functools.lru_cache(maxsize=None)
+def make_vmappable_solver(iters: int):
+    """A PSOR solver usable *inside* vmapped env steps: unbatched calls run
+    the plain lax iteration; the vmap batching rule routes the whole batch
+    into the Pallas kernel (vmapping pallas_call directly would grid one env
+    per cell and waste the 128 lanes)."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(A, rhs, Dinv, R, mu, active):
+        nK = mu.shape[-1]
+
+        def project(f3, mu_k):
+            fn = jnp.maximum(f3[0], 0.0)
+            tn = jnp.sqrt(f3[1] ** 2 + f3[2] ** 2 + 1e-24)
+            s = jnp.minimum(1.0, mu_k * fn / tn)
+            return jnp.stack([fn, f3[1] * s, f3[2] * s])
+
+        def gs_block(k, f):
+            Ak = jax.lax.dynamic_slice_in_dim(A, 3 * k, 3, axis=0)
+            fk = jax.lax.dynamic_slice_in_dim(f, 3 * k, 3)
+            rk = jax.lax.dynamic_slice_in_dim(rhs, 3 * k, 3)
+            Rk = jax.lax.dynamic_slice_in_dim(R, 3 * k, 3)
+            res = rk - Ak @ f - Rk * fk
+            Dk = jax.lax.dynamic_index_in_dim(Dinv, k, keepdims=False)
+            mu_k = jax.lax.dynamic_index_in_dim(mu, k, keepdims=False)
+            a_k = jax.lax.dynamic_index_in_dim(active, k, keepdims=False)
+            fk_new = project(fk + Dk @ res, mu_k) * a_k.astype(f.dtype)
+            return jax.lax.dynamic_update_slice_in_dim(f, fk_new, 3 * k, axis=0)
+
+        def sweep(_, f):
+            return jax.lax.fori_loop(0, nK, gs_block, f)
+
+        return jax.lax.fori_loop(0, iters, sweep, jnp.zeros_like(rhs))
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, A, rhs, Dinv, R, mu, active):
+        del axis_size, in_batched
+        return pgs_solve_pallas(A, rhs, Dinv, R, mu, active, iters=iters), True
+
+    return solve
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "interpret"))
 def pgs_solve_pallas(A, rhs, Dinv, R, mu, active, iters: int = 20,
                      interpret: bool = False):
