@@ -68,10 +68,38 @@ class PolicyGaussian(nn.Module):
         return mean, log_std
 
 
+class _PrimitiveBank(nn.Module):
+    """All P primitive MLPs evaluated as one batched contraction: weights are
+    stacked (P, in, out) so each layer is a single einsum that tiles the MXU,
+    instead of P small sequential matmuls."""
+    num_primitive: int
+    hidden: Sequence[int]
+    action_dim: int
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        h = jnp.broadcast_to(x[..., None, :],
+                             x.shape[:-1] + (self.num_primitive, x.shape[-1]))
+        act = _ACT[self.activation]
+        for out in tuple(self.hidden) + (self.action_dim,):
+            w = self.param(
+                f"w_{out}_{h.shape[-1]}",
+                nn.initializers.lecun_normal(batch_axis=(0,)),
+                (self.num_primitive, h.shape[-1], out))
+            b = self.param(f"b_{out}_{h.shape[-1]}", nn.initializers.zeros,
+                           (self.num_primitive, out))
+            h = jnp.einsum("...pi,pio->...po", h, w) + b
+            if out != self.action_dim:
+                h = act(h)
+        return h                                             # (..., P, A)
+
+
 class PolicyMCP(nn.Module):
     """Multiplicative compositional policy: N primitive MLP heads + a softmax
     composer over primitives; mean = sum_i w_i mu_i (uhc/core/policy_mcp.py:9,
-    used by UHC with actor_type 'mcp', num_primitive 8)."""
+    used by UHC with actor_type 'mcp', num_primitive 8). Primitives run as a
+    fused weight bank (one einsum per layer)."""
     action_dim: int
     num_primitive: int = 8
     hidden: Sequence[int] = (512, 256)
@@ -82,11 +110,8 @@ class PolicyMCP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        prims = []
-        for _ in range(self.num_primitive):
-            h = MLP(self.hidden, self.activation)(x)
-            prims.append(nn.Dense(self.action_dim)(h))
-        prims = jnp.stack(prims, axis=-2)                    # (..., P, A)
+        prims = _PrimitiveBank(self.num_primitive, self.hidden,
+                               self.action_dim, self.activation)(x)
         w = MLP(self.composer_hidden, self.activation)(x)
         w = nn.softmax(nn.Dense(self.num_primitive)(w), axis=-1)
         mean = jnp.einsum("...p,...pa->...a", w, prims)

@@ -291,6 +291,8 @@ class AgentAR:
          percents, clips, dones) = self._jit_rl(
             self.params, self.value_params, self.pol_opt_state,
             self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl)
+        metrics, percents, clips, dones = jax.device_get(
+            (metrics, percents, clips, dones))
 
         # host-side supervised extras (agent_ar.update_params:682 dispatch)
         if cfg.init_update:

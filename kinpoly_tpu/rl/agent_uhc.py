@@ -172,10 +172,10 @@ class UHCAgent:
          percents, clips, dones) = self._train_iter(
             self._carry, self.train_state, self.norm, probs, k)
 
-        # host-side adaptive sampling update from episode terminations
-        percents = np.asarray(percents)
-        clips = np.asarray(clips)
-        dones = np.asarray(dones)
+        # ONE bulk host fetch: per-array device_get round-trips dominate the
+        # iteration wall time on tunneled TPUs
+        metrics, percents, clips, dones = jax.device_get(
+            (metrics, percents, clips, dones))
         for c, p in zip(clips[dones], percents[dones]):
             a = cfg.sampling_freq
             self.success_ewma[c] = (

@@ -37,7 +37,7 @@ def tree_finite(t):
 
 for i in range(4):
     m = agent.train_epoch()
-    print(i, {k: round(v, 4) for k, v in m.items()},
+    print(i, {k: (round(v, 4) if isinstance(v, float) else v) for k, v in m.items()},
           'params finite:', tree_finite(agent.train_state.policy_params),
           'value finite:', tree_finite(agent.train_state.value_params),
           'norm finite:', tree_finite(agent.norm), flush=True)
