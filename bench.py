@@ -32,8 +32,8 @@ import numpy as np
 
 CPU = jax.local_devices(backend="cpu")[0]
 
-N_ENVS = int(os.environ.get("BENCH_N_ENVS", "2048"))
-N_STEPS = int(os.environ.get("BENCH_N_STEPS", "32"))
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", "4096"))
+N_STEPS = int(os.environ.get("BENCH_N_STEPS", "16"))
 STANDING = "/root/reference/sample_data/standing_neutral.pkl"
 
 
