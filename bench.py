@@ -52,7 +52,8 @@ def build():
         )
         model = eng.build_model(
             spec, uhc_control_params(spec),
-            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS", "0"))))
+            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS", "0"))),
+            use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "1"))))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)
 
@@ -82,28 +83,40 @@ def build():
         return ro.init_rollout_state(env, rng, N_ENVS, jnp.asarray(probs))
 
     carry = init_fn(jax.random.PRNGKey(1))
-    fn = jax.jit(lambda c, p, n: rollout(c, p, n, jnp.asarray(probs))[0])
+
+    # NOTE on timing honesty: on tunneled TPU backends, block_until_ready
+    # returns at dispatch, not completion. The benchmark therefore chains all
+    # reps inside ONE jitted scan and fetches a scalar + the final obs, so
+    # wall time covers actual execution.
+    def iters(c, p, n, reps):
+        def body(cc, _):
+            cc2, traj = rollout(cc, p, n, jnp.asarray(probs))
+            return cc2, traj.rewards.sum()
+        c, r = jax.lax.scan(body, c, None, length=reps)
+        return c, r.sum()
+
+    fn = jax.jit(iters, static_argnames="reps")
     return fn, carry, params, norm, model
 
 
 def main():
     fn, carry, params, norm, model = build()
     # warmup / compile
-    carry = fn(carry, params, norm)
-    jax.block_until_ready(carry)
+    carry1, s = fn(carry, params, norm, 1)
+    _ = float(s)
 
     reps = 3
     t0 = time.time()
-    for _ in range(reps):
-        carry = fn(carry, params, norm)
-    jax.block_until_ready(carry)
+    carry2, s = fn(carry1, params, norm, reps)
+    _ = float(s)
+    obs_host = np.asarray(jax.device_get(carry2.obs))
     wall = (time.time() - t0) / reps
 
     control_steps = N_ENVS * N_STEPS
     substeps = control_steps * model.n_substeps
     sps = substeps / wall
     baseline_per_chip = 1_000_000 / 8.0
-    finite = bool(np.isfinite(np.asarray(jax.device_get(carry.obs))).all())
+    finite = bool(np.isfinite(obs_host).all())
     print(json.dumps({
         "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
         "value": round(sps, 1),

@@ -326,17 +326,31 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
                    solref=SOLREF, solimp=SOLIMP, iters: int = 30,
                    row_live: jax.Array | None = None,
                    use_pallas: bool = False):
+    """Projected Gauss-Seidel contact solve returning qfrc = J^T f
+    (compat wrapper; the engine uses `contact_forces` + its precomputed
+    M^-1 J^T to avoid a redundant back-solve)."""
+    MiJt = M_solve(jnp.swapaxes(J, -1, -2))
+    f = contact_forces(J, MiJt, qacc_smooth, qvel, depth, active, friction,
+                       dt, solref, solimp, iters, row_live, use_pallas)
+    return jnp.einsum("...cv,...c->...v", J, f)
+
+
+def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
+                   qvel: jax.Array, depth: jax.Array, active: jax.Array,
+                   friction: jax.Array, dt: float,
+                   solref=SOLREF, solimp=SOLIMP, iters: int = 30,
+                   row_live: jax.Array | None = None,
+                   use_pallas: bool = False):
     """Projected Gauss-Seidel on contact-space forces.
 
-    M_solve: callable rhs (..., nv[, k]) -> M^-1 rhs
-    J: (..., 3K, nv); depth/active/friction: (..., K)
-    row_live: optional (3K,) bool — rows that carry actual constraints
-    (joint-limit blocks have dead friction rows).
-    Returns qfrc_constraint (..., nv).
+    J: (..., 3K, nv); MiJt: precomputed M^-1 J^T (..., nv, 3K);
+    depth/active/friction: (..., K). row_live: optional (3K,) bool — rows
+    that carry actual constraints (joint-limit blocks have dead friction
+    rows). Returns contact forces f (..., 3K); the constraint acceleration
+    is MiJt @ f.
     """
     nK = depth.shape[-1]
 
-    MiJt = M_solve(jnp.swapaxes(J, -1, -2))              # (..., nv, 3K)
     A = J @ MiJt                                         # (..., 3K, 3K)
 
     d = impedance(depth, solimp) * active
@@ -409,4 +423,4 @@ def solve_contacts(M_solve, J: jax.Array, qacc_smooth: jax.Array,
     else:
         f0 = jnp.zeros_like(rhs)
         f = jax.lax.fori_loop(0, iters, sweep, f0)
-    return jnp.einsum("...cv,...c->...v", J, f)
+    return f
