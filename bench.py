@@ -32,7 +32,7 @@ import numpy as np
 
 CPU = jax.local_devices(backend="cpu")[0]
 
-N_ENVS = int(os.environ.get("BENCH_N_ENVS", "4096"))
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", "2048"))
 N_STEPS = int(os.environ.get("BENCH_N_STEPS", "16"))
 STANDING = "/root/reference/sample_data/standing_neutral.pkl"
 
@@ -53,7 +53,7 @@ def build():
         model = eng.build_model(
             spec, uhc_control_params(spec),
             use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS", "0"))),
-            use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "1"))))
+            use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "0"))))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)
 
