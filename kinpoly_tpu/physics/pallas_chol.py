@@ -40,8 +40,7 @@ def make_vmappable_spd_solve():
     @solve.def_vmap
     def _batched(axis_size, in_batched, A, B):
         del axis_size, in_batched
-        _, X = chol_factor_solve(A, B)
-        return X, True
+        return chol_solve_only(A, B), True
 
     return solve
 
@@ -110,6 +109,46 @@ def _apply_kernel(L_ref, B_ref, X_ref, *, n: int):
     L = L_ref[:]
     Y = _fwd_solve(L, B_ref[:], n)
     X_ref[:] = _bwd_solve(L, Y, n)
+
+
+def _solve_only_kernel(A_ref, B_ref, X_ref, *, n: int):
+    """Factor + solve without materialising L to HBM (the engine's hot path
+    never reuses the factor; dropping the L output halves the kernel's
+    VMEM footprint, which matters at R ~ 55 RHS columns)."""
+    L = _factor(A_ref[:], n)
+    Y = _fwd_solve(L, B_ref[:], n)
+    X_ref[:] = _bwd_solve(L, Y, n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_only(A, B, interpret: bool = False):
+    """Batched SPD solve (no factor output). A (batch, n, n),
+    B (batch, n, R) -> X (batch, n, R)."""
+    batch, n = A.shape[0], A.shape[1]
+    R = B.shape[-1]
+    N = -(-n // 8) * 8
+    n_pad = (-batch) % TILE
+
+    A_p = jnp.pad(A, ((0, n_pad), (0, N - n), (0, N - n)))
+    Np = A_p.shape[0]
+    A_t = jnp.transpose(A_p, (1, 2, 0))
+    B_t = _pad_batch_last(B, N, n_pad)
+
+    X_t = pl.pallas_call(
+        functools.partial(_solve_only_kernel, n=n),
+        out_shape=jax.ShapeDtypeStruct((N, R, Np), A.dtype),
+        grid=(Np // TILE,),
+        in_specs=[
+            pl.BlockSpec((N, N, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, R, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, R, TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A_t, B_t)
+
+    return jnp.transpose(X_t, (2, 0, 1))[:batch, :n, :]
 
 
 def _pad_batch_last(x, N, n_pad):

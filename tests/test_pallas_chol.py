@@ -33,3 +33,15 @@ def test_apply_matches_numpy(rng):
     for i in range(batch):
         X_ref = np.linalg.solve(A[i].astype(np.float64), B[i])
         np.testing.assert_allclose(X[i], X_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_solve_only_matches_numpy(rng):
+    from kinpoly_tpu.physics.pallas_chol import chol_solve_only
+
+    batch, n, R = 2, 75, 55
+    A = _spd(rng, batch, n)
+    B = rng.randn(batch, n, R).astype(np.float32)
+    X = np.asarray(chol_solve_only(A, B, interpret=True))
+    for i in range(batch):
+        X_ref = np.linalg.solve(A[i].astype(np.float64), B[i])
+        np.testing.assert_allclose(X[i], X_ref, rtol=5e-3, atol=5e-3)
