@@ -28,6 +28,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # requested a wider mesh than the default backend offers: fall back
+        # to the virtual CPU host devices (xla_force_host_platform_device_count)
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise ValueError(
+            f"need {n} devices for the mesh, have {len(devs)} "
+            f"(set --xla_force_host_platform_device_count)")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 

@@ -16,6 +16,10 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
+# the session sitecustomize (PYTHONPATH=/root/.axon_site) imports jax before
+# this conftest runs, so the env var above may be latched too late — force the
+# platform through the config API as well
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the physics step graphs are large and CPU XLA is
 # slow to compile; cache across test runs
