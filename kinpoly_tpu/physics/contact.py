@@ -42,6 +42,10 @@ class ContactSet(NamedTuple):
     body: jax.Array      # (..., K) humanoid body index the point belongs to (int32)
     friction: jax.Array  # (..., K) tangential friction coefficient
     active: jax.Array    # (..., K) bool
+    obj: jax.Array = None  # (..., K) int32 scene-object index on the *other*
+    #                        side of the contact (-1 = world/static); the
+    #                        humanoid side is `body` (-1 = none, e.g.
+    #                        object-floor contacts)
 
 
 def select_contact_vertices(spec, per_body: dict[str, int] | None = None,
@@ -107,6 +111,7 @@ def floor_contacts(spec, cand_verts: jax.Array, cand_body: np.ndarray,
         body=body,
         friction=jnp.full(val.shape, friction, dtype=val.dtype),
         active=val > 0.0,
+        obj=jnp.full(val.shape, -1, jnp.int32),
     )
 
 
@@ -216,10 +221,12 @@ def object_contacts(scene: SceneGeoms, obj_qpos: jax.Array,
     pos = jnp.take_along_axis(pos_f, idx[..., None], axis=-2)
     nrm = jnp.take_along_axis(nrm_f, idx[..., None], axis=-2)
     body = body_f[idx]
+    obj_f = jnp.broadcast_to(jnp.asarray(g_obj)[:, None], depth.shape[-2:]).reshape(-1)
     return ContactSet(
         pos=pos, normal=nrm, depth=val, body=body,
         friction=jnp.full(val.shape, friction, dtype=val.dtype),
         active=val > 0.0,
+        obj=obj_f[idx].astype(jnp.int32),
     )
 
 
@@ -230,7 +237,101 @@ def merge_contacts(a: ContactSet, b: ContactSet) -> ContactSet:
         pos=cat2(a.pos, b.pos), normal=cat2(a.normal, b.normal),
         depth=cat1(a.depth, b.depth), body=cat1(a.body, b.body),
         friction=cat1(a.friction, b.friction), active=cat1(a.active, b.active),
+        obj=cat1(a.obj, b.obj),
     )
+
+
+def object_floor_verts(scene: SceneGeoms, per_geom: int = 8):
+    """Static candidate verts (object-frame) for object<->floor contacts:
+    box corners; cylinder rim points (4 bottom + 4 top). Returns
+    (verts (V, 3), obj_id (V,))."""
+    verts, objs = [], []
+    for gi in range(len(scene.gtype)):
+        s = scene.size[gi]
+        if scene.gtype[gi] == 0:  # box
+            local = np.array([[sx * s[0], sy * s[1], sz * s[2]]
+                              for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)])
+        else:  # cylinder
+            r, h = s[0], s[1]
+            local = np.array([[r * np.cos(a), r * np.sin(a), sz * h]
+                              for sz in (-1, 1)
+                              for a in np.arange(4) * (np.pi / 2)])
+        # geom frame -> object frame
+        q = scene.quat[gi]
+        w, x, y, z = q
+        Rm = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        verts.append(local @ Rm.T + scene.pos[gi])
+        objs.append(np.full(len(local), scene.obj[gi], np.int32))
+    return np.concatenate(verts), np.concatenate(objs)
+
+
+def object_floor_contacts(obj_qpos: jax.Array, verts: np.ndarray,
+                          vert_obj: np.ndarray, k_top: int,
+                          margin: float = 0.001,
+                          friction: float = 1.0) -> ContactSet:
+    """Object candidate verts vs the floor plane z=0; the humanoid is not
+    involved (body = -1); `obj` carries the object index so the engine routes
+    the constraint rows onto the object's 6 free dofs.
+
+    Sign convention: constraint rows measure (side A - side B) velocity where
+    side B is the object (`object_jacobian` negates the object side). Here
+    side A is the static floor, so the stored normal points *down* (-z): the
+    row velocity -n.v_obj = +v_obj_z is then positive on separation, and the
+    object force J_o^T f = -n f = +z f pushes the object out of the floor."""
+    vo = jnp.asarray(vert_obj)
+    op = obj_qpos[..., vo, :3]
+    oq = obj_qpos[..., vo, 3:7]
+    world = op + tmath.quat_rot_vec(oq, jnp.asarray(verts, obj_qpos.dtype))
+    depth = margin - world[..., 2]
+    val, idx = jax.lax.top_k(depth, k_top)
+    pos = jnp.take_along_axis(world, idx[..., None], axis=-2)
+    normal = jnp.zeros_like(pos).at[..., 2].set(-1.0)
+    return ContactSet(
+        pos=pos, normal=normal, depth=val,
+        body=jnp.full(val.shape, -1, jnp.int32),
+        friction=jnp.full(val.shape, friction, dtype=val.dtype),
+        active=val > 0.0,
+        obj=vo[idx].astype(jnp.int32),
+    )
+
+
+def contact_frame(normal: jax.Array) -> jax.Array:
+    """(..., K, 3) normal -> (..., K, 3, 3) rows [n, t1, t2]."""
+    n = normal
+    ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                    jnp.broadcast_to(jnp.asarray([0.0, 0, 1], n.dtype), n.shape),
+                    jnp.broadcast_to(jnp.asarray([1.0, 0, 0], n.dtype), n.shape))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-9)
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2], axis=-2)
+
+
+def object_jacobian(cs: ContactSet, com_world: jax.Array):
+    """Object-side contact Jacobian: rows (..., 3K, 6) mapping object
+    generalized velocity u_o = (v_com world, omega world) of the contact's
+    object to the *negative* relative velocity along [n, t1, t2] (the row
+    convention is relative velocity = humanoid point - object point).
+
+    `com_world` (..., n_obj, 3): world CoM per object.
+    Returns (J_o (..., 3K, 6), obj_of_row (..., 3K) int32, -1 = none)."""
+    frame = contact_frame(cs.normal)                     # (..., K, 3, 3)
+    oi = jnp.maximum(cs.obj, 0)
+    com = jnp.take_along_axis(
+        com_world, oi[..., None], axis=-2)               # (..., K, 3)
+    r = cs.pos - com
+    # v_point = v + omega x r  ->  d/dn = -n ; d/domega = -(r x n)
+    lin = -frame                                         # (..., K, 3, 3)
+    ang = -jnp.cross(jnp.broadcast_to(r[..., None, :], frame.shape), frame)
+    Jo = jnp.concatenate([lin, ang], axis=-1)            # (..., K, 3, 6)
+    Jo = Jo * (cs.obj >= 0)[..., None, None]
+    Jo = Jo.reshape(Jo.shape[:-3] + (-1, 6))
+    obj_rows = jnp.repeat(cs.obj, 3, axis=-1)
+    return Jo, obj_rows
 
 
 def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -> jax.Array:
@@ -241,7 +342,8 @@ def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -
     J_row = n . (phi_v0 + phi_omega x p) per dof, masked by dof-ancestry.
     """
     anc = jnp.asarray(anc_dof_body, dtype=phi.dtype)     # (nv, B)
-    mask = anc.T[cs.body]                                # (..., K, nv)
+    mask = anc.T[jnp.maximum(cs.body, 0)]                # (..., K, nv)
+    mask = mask * (cs.body >= 0)[..., None]              # body -1: no humanoid side
 
     omega, v0 = phi[..., :3], phi[..., 3:]               # (..., nv, 3)
     # velocity of the contact point per dof: v0 + omega x p
@@ -250,20 +352,8 @@ def contact_jacobian(cs: ContactSet, phi: jax.Array, anc_dof_body: np.ndarray) -
     p_b = cs.pos[..., :, None, :]                        # (..., K, 1, 3)
     vel = v0_b + jnp.cross(omega_b, p_b)                 # (..., K, nv, 3)
 
-    n = cs.normal
-    # tangent frame
-    ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
-                    jnp.broadcast_to(jnp.asarray([0.0, 0, 1], n.dtype), n.shape),
-                    jnp.broadcast_to(jnp.asarray([1.0, 0, 0], n.dtype), n.shape))
-    t1 = jnp.cross(n, ref)
-    t1 = t1 / jnp.linalg.norm(t1, axis=-1, keepdims=True).clip(1e-9)
-    t2 = jnp.cross(n, t1)
-
-    jn = jnp.einsum("...kvx,...kx->...kv", vel, n) * mask
-    jt1 = jnp.einsum("...kvx,...kx->...kv", vel, t1) * mask
-    jt2 = jnp.einsum("...kvx,...kx->...kv", vel, t2) * mask
-    # layout: (..., K, 3, nv) -> (..., 3K, nv)
-    J = jnp.stack([jn, jt1, jt2], axis=-2)
+    frame = contact_frame(cs.normal)                     # (..., K, 3, 3)
+    J = jnp.einsum("...kvx,...kfx->...kfv", vel, frame) * mask[..., None, :]
     return J.reshape(J.shape[:-3] + (J.shape[-3] * 3, J.shape[-1]))
 
 
@@ -340,7 +430,10 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
                    friction: jax.Array, dt: float,
                    solref=SOLREF, solimp=SOLIMP, iters: int = 30,
                    row_live: jax.Array | None = None,
-                   use_pallas: bool = False):
+                   use_pallas: bool = False,
+                   A_extra: jax.Array | None = None,
+                   vel_extra: jax.Array | None = None,
+                   acc_smooth_extra: jax.Array | None = None):
     """Projected Gauss-Seidel on contact-space forces.
 
     J: (..., 3K, nv); MiJt: precomputed M^-1 J^T (..., nv, 3K);
@@ -348,10 +441,16 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
     that carry actual constraints (joint-limit blocks have dead friction
     rows). Returns contact forces f (..., 3K); the constraint acceleration
     is MiJt @ f.
+
+    Movable-object coupling: A_extra adds the object-side Delassus block
+    J_o M_o^-1 J_o^T, vel_extra/acc_smooth_extra add the object-side
+    relative velocity / unconstrained acceleration along each row.
     """
     nK = depth.shape[-1]
 
     A = J @ MiJt                                         # (..., 3K, 3K)
+    if A_extra is not None:
+        A = A + A_extra
 
     d = impedance(depth, solimp) * active
     timeconst, dampratio = solref
@@ -359,6 +458,8 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
     k_coef = d / (SOLIMP[1] * SOLIMP[1] * timeconst * timeconst * dampratio * dampratio)
 
     vel_c = jnp.einsum("...cv,...v->...c", J, qvel)      # (..., 3K)
+    if vel_extra is not None:
+        vel_c = vel_c + vel_extra
     vel3 = vel_c.reshape(vel_c.shape[:-1] + (nK, 3))
     # reference acceleration along each row (normal row gets position term)
     aref_n = -b_coef * vel3[..., 0] - k_coef * (-depth)  # depth>0 = penetration -> push out
@@ -367,6 +468,8 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
 
     # residual: we want J qacc ~ aref => (A + R) f = aref - J qacc_smooth
     rhs = aref - jnp.einsum("...cv,...v->...c", J, qacc_smooth)
+    if acc_smooth_extra is not None:
+        rhs = rhs - acc_smooth_extra
 
     diagA = jnp.diagonal(A, axis1=-2, axis2=-1)
     d_rows = jnp.repeat(d, 3, axis=-1)

@@ -31,11 +31,17 @@ from kinpoly_tpu.core import tmath
 from kinpoly_tpu.physics import contact as ct
 from kinpoly_tpu.physics import dynamics as dyn
 from kinpoly_tpu.physics import fk as fklib
+from kinpoly_tpu.physics import ltdl
 
 
 class SimState(NamedTuple):
     qpos: jax.Array   # (..., 76)
     qvel: jax.Array   # (..., 75)
+    # movable-object state (None unless the model was built with
+    # movable_objects=True; the reference scene's objects are free bodies,
+    # `_all_step.xml:190-213`, nq 76+5*7 / nv 75+5*6)
+    obj_qpos: jax.Array = None   # (..., n_obj, 7)
+    obj_qvel: jax.Array = None   # (..., n_obj, 6): (v_com world, omega world)
 
 
 @dataclass(frozen=True)
@@ -50,6 +56,34 @@ class ControlParams:
     rfc_lim: float = float("inf")
     action_v: int = 1
     meta_pd: bool = False
+    # residual-force mode (humanoid_im.py:71-89): implicit = 6-d root wrench;
+    # explicit = per-body (contact point, force[, torque]) wrenches for
+    # vf_bodies (default: all bodies)
+    rfc_mode: str = "implicit"
+    vf_bodies: tuple = ()            # body indices (explicit mode)
+    residual_force_torque: bool = True
+
+    @property
+    def body_vf_dim(self) -> int:
+        return 6 + 3 * int(self.residual_force_torque)
+
+    @property
+    def vf_dim(self) -> int:
+        if self.rfc_mode == "implicit":
+            return 6
+        return self.body_vf_dim * len(self.vf_bodies)
+
+
+@dataclass(frozen=True)
+class ObjDynParams:
+    """Free-body dynamics of the scene objects (parsed from the MJCF object
+    bodies; chair base mass 1e5 / table legs 500 make those quasi-static,
+    the 1 kg 'push' box actually moves)."""
+    mass: np.ndarray           # (n_obj,)
+    com: np.ndarray            # (n_obj, 3) object-frame CoM
+    inertia: np.ndarray        # (n_obj, 3, 3) about CoM, object frame
+    floor_verts: np.ndarray    # (V, 3) object-frame floor-contact candidates
+    floor_vert_obj: np.ndarray  # (V,)
 
 
 @dataclass(frozen=True)
@@ -61,6 +95,12 @@ class PhysicsModel:
     cand_verts: np.ndarray    # (N, 3) body-local contact candidate verts
     cand_body: np.ndarray     # (N,)
     scene: object = None      # ct.SceneGeoms of the interactable objects
+    # simulate the scene objects as free rigid bodies (two-way contact
+    # coupling + object-floor contacts + gravity); otherwise they are static
+    # collision geometry at the pose passed per-step
+    movable_objects: bool = False
+    obj_dyn: ObjDynParams = None
+    obj_floor_top_k: int = 10
     n_substeps: int = 15
     contact_top_k: int = 12
     object_top_k: int = 8
@@ -73,6 +113,12 @@ class PhysicsModel:
     # run the SPD factor+solves as a Pallas kernel (TPU; vmap-aware; ~6x
     # faster than XLA's batched cholesky/triangular_solve at batch 512)
     use_pallas_chol: bool = False
+    # SPD solver backend: "ltdl" = tree-sparse L^T D L on the packed mass
+    # matrix (physics/ltdl.py; ~3.6x faster than XLA dense Cholesky at
+    # batch 4096 on v5e), "dense" = XLA batched Cholesky (use_pallas_chol
+    # upgrades "dense" to the Pallas batch-on-lanes kernel)
+    solver: str = "ltdl"
+    topo: object = None          # ltdl.LTDLTopo (set by build_model)
     # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
     # this stops the v^2 Coriolis feedback loop that can take a blown-up env
     # from ~1e2 to inf within one 15-substep control step (the reference
@@ -94,16 +140,29 @@ def build_model(spec, ctrl: ControlParams, with_objects: bool = False, **kw) -> 
         spec, per_body=ct.FOOT_BODIES, default_k=4
     )
     scene = ct.scene_from_spec(spec) if (with_objects and spec.objects) else None
+    tables = dyn.build_tables(spec)
+    if kw.get("use_pallas_chol"):
+        kw.setdefault("solver", "dense")
+    if kw.get("movable_objects") and scene is not None:
+        fv, fvo = ct.object_floor_verts(scene)
+        kw.setdefault("obj_dyn", ObjDynParams(
+            mass=np.asarray([o.mass for o in spec.objects]),
+            com=np.stack([o.com for o in spec.objects]),
+            inertia=np.stack([o.inertia for o in spec.objects]),
+            floor_verts=fv, floor_vert_obj=fvo,
+        ))
     return PhysicsModel(
-        spec=spec, tables=dyn.build_tables(spec), ctrl=ctrl,
-        cand_verts=cand_verts, cand_body=cand_body, scene=scene, **kw,
+        spec=spec, tables=tables, ctrl=ctrl,
+        cand_verts=cand_verts, cand_body=cand_body, scene=scene,
+        topo=ltdl.build_topo(tables.dof_parent), **kw,
     )
 
 
 def compute_torque(model: PhysicsModel, qpos, qvel, ctrl_joint, base_pos,
-                   M, C, jkp=None, jkd=None, spd=None):
+                   C, solve_A, jkp=None, jkd=None):
     """Stable-PD torque, one substep (reference ``compute_torque``:433).
-    `spd(A, B)` solves the SPD system (multi-RHS); defaults to the XLA path."""
+    `solve_A(rhs)` solves (M + K_d dt) x = rhs (built by the caller from the
+    chosen solver backend)."""
     dt = model.dt
     dtype = qpos.dtype
     jkp = jnp.asarray(model.ctrl.jkp, dtype) if jkp is None else jkp
@@ -123,15 +182,44 @@ def compute_torque(model: PhysicsModel, qpos, qvel, ctrl_joint, base_pos,
     k_d = jnp.concatenate([zeros6, jkd], axis=-1)
 
     rhs = -C - k_p * qpos_err - k_d * qvel
-    A = M + (k_d * dt)[..., None, :] * jnp.eye(M.shape[-1], dtype=dtype)
-    if spd is None:
-        q_accel = dyn.chol_solve(A, rhs)
-    else:
-        q_accel = spd(A, rhs[..., None])[..., 0]
+    q_accel = solve_A(rhs)
     qvel_err = qvel + q_accel * dt
     torque = -jkp * qpos_err[..., 6:] - jkd * qvel_err[..., 6:]
     lim = jnp.asarray(model.ctrl.torque_lim, dtype)
     return jnp.clip(torque, -lim, lim)
+
+
+def rfc_explicit(model: PhysicsModel, ks, vf):
+    """Per-body residual wrenches (reference ``rfc_explicit``:483-495,
+    mjf.mj_applyFT): vf per body = [contact point (3, body frame),
+    force (3, body frame)[, torque (3, body frame)]]; force/torque scaled by
+    rfc_scale and rotated to world; returns generalized qfrc (..., nv).
+
+    World-origin Plücker math: a force f at world point p plus torque t on
+    body b contributes Q_j = phi_j^omega . (t + p x f) + phi_j^v . f for
+    every ancestor dof j of b."""
+    c = model.ctrl
+    d = c.body_vf_dim
+    vb = np.asarray(c.vf_bodies, np.int32)
+    n = len(vb)
+    v = vf.reshape(vf.shape[:-1] + (n, d))
+    xpos = ks.fk_res.xpos[..., vb, :]
+    xquat = ks.fk_res.xquat[..., vb, :]
+    p = xpos + tmath.quat_rot_vec(xquat, v[..., 0:3])
+    f = tmath.quat_rot_vec(xquat, v[..., 3:6]) * c.rfc_scale
+    if c.residual_force_torque:
+        t = tmath.quat_rot_vec(xquat, v[..., 6:9]) * c.rfc_scale
+    else:
+        t = jnp.zeros_like(f)
+    n0 = t + jnp.cross(p, f)
+    # mask (n, nv): dof j ancestor of body vb[i]
+    anc = np.asarray(model.tables.anc_dof_body)[:, vb].T     # (n, nv)
+    # phi rows: (omega, v0); f_spatial = (n0, f)
+    Q = jnp.einsum("...jx,nj,...nx->...j", ks.phi[..., :3],
+                   jnp.asarray(anc, f.dtype), n0) \
+        + jnp.einsum("...jx,nj,...nx->...j", ks.phi[..., 3:],
+                     jnp.asarray(anc, f.dtype), f)
+    return Q
 
 
 def rfc_implicit(model: PhysicsModel, qpos, vf, base_rot):
@@ -179,24 +267,50 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
     dtype = qpos.dtype
 
     ks = dyn.kin_state(spec, tables, qpos)
-    M = dyn.mass_matrix(spec, tables, ks)
     C = dyn.bias_force(spec, tables, ks, qvel)
 
-    if model.use_pallas_chol:
-        from kinpoly_tpu.physics.pallas_chol import make_vmappable_spd_solve
-        spd = make_vmappable_spd_solve()
-    else:
-        def spd(A, B):
-            return dyn.chol_solve(A, B)
+    jkd_eff = jnp.asarray(model.ctrl.jkd, dtype) if jkd is None else jkd
+    kd_full = jnp.concatenate(
+        [jnp.zeros(qpos.shape[:-1] + (6,), dtype),
+         jnp.broadcast_to(jkd_eff, qpos.shape[:-1] + (69,))], axis=-1)
 
-    torque = compute_torque(model, qpos, qvel, ctrl_joint, base_pos, M, C,
-                            jkp, jkd, spd)
-    tau = jnp.concatenate(
-        [rfc_implicit(model, qpos, vf, base_rot), torque], axis=-1
-    )
+    if model.solver == "ltdl":
+        topo = model.topo
+        R = ltdl.crba_packed(spec, tables, topo, ks, via_dense=False)
+        Rf_A = ltdl.factor(topo, ltdl.add_diag(topo, R, kd_full * model.dt))
+        Rf_M = ltdl.factor(topo, R)
+        solve_A = lambda rhs: ltdl.solve(topo, Rf_A, rhs)
+        solve_M = lambda B: ltdl.solve(topo, Rf_M, B)
+    else:
+        M = dyn.mass_matrix(spec, tables, ks)
+        if model.use_pallas_chol:
+            from kinpoly_tpu.physics.pallas_chol import make_vmappable_spd_solve
+            spd = make_vmappable_spd_solve()
+        else:
+            def spd(A, B):
+                return dyn.chol_solve(A, B)
+        A = M + (kd_full * model.dt)[..., None, :] * jnp.eye(
+            M.shape[-1], dtype=dtype)
+        solve_A = lambda rhs: spd(A, rhs[..., None])[..., 0]
+        solve_M = lambda B: spd(M, B)
+
+    torque = compute_torque(model, qpos, qvel, ctrl_joint, base_pos, C,
+                            solve_A, jkp, jkd)
+    if model.ctrl.rfc_mode == "explicit":
+        zeros6 = jnp.zeros(qpos.shape[:-1] + (6,), dtype)
+        tau = jnp.concatenate([zeros6, torque], axis=-1) \
+            + rfc_explicit(model, ks, vf)
+    else:
+        tau = jnp.concatenate(
+            [rfc_implicit(model, qpos, vf, base_rot), torque], axis=-1
+        )
+
+    movable = model.movable_objects and state.obj_qpos is not None
+    if movable:
+        obj_qpos = state.obj_qpos
 
     if not with_contacts:
-        qacc = spd(M, (tau - C)[..., None])[..., 0]
+        qacc = solve_M((tau - C)[..., None])[..., 0]
     else:
         cand = jnp.asarray(model.cand_verts, dtype)
         cs = ct.floor_contacts(
@@ -215,6 +329,13 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
                 friction=model.friction)
             cs = ct.merge_contacts(cs, ocs)
             n_live.append(ocs.depth.shape[-1])
+        if movable:
+            fcs = ct.object_floor_contacts(
+                obj_qpos, model.obj_dyn.floor_verts,
+                model.obj_dyn.floor_vert_obj, model.obj_floor_top_k,
+                margin=spec.geom_margin, friction=model.friction)
+            cs = ct.merge_contacts(cs, fcs)
+            n_live.append(fcs.depth.shape[-1])
 
         J = ct.contact_jacobian(cs, ks.phi, tables.anc_dof_body)
         depth, active, friction = cs.depth, cs.active, cs.friction
@@ -222,7 +343,7 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
 
         if model.with_joint_limits:
             Jl, dl, al = ct.joint_limit_contacts(
-                qpos, spec.jnt_range, model.limit_top_k, nv=M.shape[-1])
+                qpos, spec.jnt_range, model.limit_top_k, nv=qvel.shape[-1])
             J = jnp.concatenate([J, Jl], axis=-2)
             depth = jnp.concatenate([depth, dl], axis=-1)
             active = jnp.concatenate([active, al], axis=-1)
@@ -236,22 +357,86 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         # the constraint acceleration is then MiJt @ f — no extra back-solve
         B = jnp.concatenate(
             [(tau - C)[..., None], jnp.swapaxes(J, -1, -2)], axis=-1)
-        X = spd(M, B)
+        X = solve_M(B)
         qacc = X[..., 0]
         MiJt = X[..., 1:]
+
+        # movable-object coupling: the constraint rows also see the objects'
+        # free 6-dof motion. A gains the object-side Delassus block
+        # J_o M_o^-1 J_o^T (per object), rows gain the object point velocity
+        # and smooth (gravity + gyroscopic) acceleration.
+        A_extra = vel_extra = acc_extra = None
+        if movable:
+            od = model.obj_dyn
+            n_obj = len(od.mass)
+            oq = obj_qpos[..., 3:7]
+            Rm = tmath.quat_to_mat(oq)                          # (..., n_obj, 3, 3)
+            com_w = obj_qpos[..., :3] + tmath.quat_rot_vec(
+                oq, jnp.asarray(od.com, dtype))
+            Iw = Rm @ jnp.asarray(od.inertia, dtype) @ jnp.swapaxes(Rm, -1, -2)
+            Iw_inv = ct._inv3x3(Iw)
+            minv = 1.0 / jnp.asarray(od.mass, dtype).clip(1e-9)
+
+            Jo_c, obj_rows_c = ct.object_jacobian(cs, com_w)    # contacts only
+            pad = J.shape[-2] - Jo_c.shape[-2]                  # limit rows
+            Jo = jnp.concatenate(
+                [Jo_c, jnp.zeros(Jo_c.shape[:-2] + (pad, 6), dtype)], axis=-2)
+            obj_rows = jnp.concatenate(
+                [obj_rows_c,
+                 jnp.full(obj_rows_c.shape[:-1] + (pad,), -1, jnp.int32)], axis=-1)
+
+            onehot = (obj_rows[..., None] == jnp.arange(n_obj)).astype(dtype)
+            K_lin = Jo[..., :3] * jnp.einsum("...rn,n->...r", onehot, minv)[..., None]
+            Iwi_r = jnp.einsum("...rn,...nij->...rij", onehot, Iw_inv)
+            K_ang = jnp.einsum("...rij,...rj->...ri", Iwi_r, Jo[..., 3:])
+            K = jnp.concatenate([K_lin, K_ang], axis=-1)        # Jo M_o^-1 per row
+            same = (obj_rows[..., :, None] == obj_rows[..., None, :]) & \
+                   (obj_rows >= 0)[..., :, None]
+            A_extra = jnp.einsum("...ri,...si->...rs", K, Jo) * same
+
+            u = state.obj_qvel                                  # (..., n_obj, 6)
+            gvec = jnp.zeros(com_w.shape[:-2] + (n_obj, 3), dtype).at[..., 2].set(-9.81)
+            gyro = -jnp.einsum(
+                "...nij,...nj->...ni", Iw_inv,
+                jnp.cross(u[..., 3:], jnp.einsum("...nij,...nj->...ni", Iw, u[..., 3:])))
+            a_sm_obj = jnp.concatenate([gvec, gyro], axis=-1)   # (..., n_obj, 6)
+            u_row = jnp.einsum("...rn,...ni->...ri", onehot, u)
+            a_row = jnp.einsum("...rn,...ni->...ri", onehot, a_sm_obj)
+            vel_extra = jnp.einsum("...ri,...ri->...r", Jo, u_row)
+            acc_extra = jnp.einsum("...ri,...ri->...r", Jo, a_row)
 
         f = ct.contact_forces(
             J, MiJt, qacc, qvel, depth, active, friction,
             model.dt, iters=model.contact_iters, row_live=row_live,
             use_pallas=model.use_pallas_pgs,
+            A_extra=A_extra, vel_extra=vel_extra, acc_smooth_extra=acc_extra,
         )
         qacc = qacc + jnp.einsum("...vc,...c->...v", MiJt, f)
+
+    obj_qpos_new, obj_qvel_new = state.obj_qpos, state.obj_qvel
+    if movable and with_contacts:
+        # object wrench about its CoM and free-body integration
+        w = jnp.einsum("...rn,...r,...ri->...ni", onehot, f, Jo)
+        a_lin = w[..., :3] * minv[:, None] + a_sm_obj[..., :3]
+        a_ang = jnp.einsum("...nij,...nj->...ni", Iw_inv, w[..., 3:]) \
+            + a_sm_obj[..., 3:]
+        u_new = u + jnp.concatenate([a_lin, a_ang], axis=-1) * model.dt
+        if model.qvel_clip:
+            u_new = jnp.clip(u_new, -model.qvel_clip, model.qvel_clip)
+        v_origin = u_new[..., :3] + jnp.cross(
+            u_new[..., 3:], obj_qpos[..., :3] - com_w)
+        pos_new = obj_qpos[..., :3] + v_origin * model.dt
+        quat_new = tmath.quat_norm(tmath.quat_mul(
+            tmath.quat_from_expmap(u_new[..., 3:] * model.dt), oq))
+        obj_qpos_new = jnp.concatenate([pos_new, quat_new], axis=-1)
+        obj_qvel_new = u_new
 
     qvel_new = qvel + qacc * model.dt
     if model.qvel_clip:
         qvel_new = jnp.clip(qvel_new, -model.qvel_clip, model.qvel_clip)
     qpos_new = integrate(qpos, qvel_new, model.dt)
-    return SimState(qpos=qpos_new, qvel=qvel_new)
+    return SimState(qpos=qpos_new, qvel=qvel_new,
+                    obj_qpos=obj_qpos_new, obj_qvel=obj_qvel_new)
 
 
 def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
@@ -263,14 +448,14 @@ def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
     c = model.ctrl
     dtype = state.qpos.dtype
     ctrl_joint = action[..., :69] * jnp.asarray(c.a_scale, dtype)
-    vf = action[..., 69:75]
+    vf = action[..., 69:69 + c.vf_dim]
     if c.action_v == 1:
         base_pos = expert_kin_pose
     else:
         base_pos = jnp.asarray(c.a_ref, dtype)
 
     if c.meta_pd:
-        meta = action[..., 75:75 + 2 * model.n_substeps]
+        meta = action[..., 69 + c.vf_dim:69 + c.vf_dim + 2 * model.n_substeps]
 
         def body(s, i):
             kp = jnp.asarray(c.jkp, dtype) * jnp.clip(meta[..., i, None] + 1, 0, 10)
