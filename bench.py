@@ -86,37 +86,53 @@ def build():
 
     # NOTE on timing honesty: on tunneled TPU backends, block_until_ready
     # returns at dispatch, not completion. The benchmark therefore chains all
-    # reps inside ONE jitted scan and fetches a scalar + the final obs, so
-    # wall time covers actual execution.
+    # reps inside ONE jitted scan and fetches SCALARS that depend on the full
+    # computation (a reward checksum + an on-device finiteness reduction).
+    # Fetching whole arrays would time the tunnel, not the chip (a 6.4 MB
+    # obs fetch measured ~19 s of pure transfer in round 2).
     def iters(c, p, n, reps):
         def body(cc, _):
             cc2, traj = rollout(cc, p, n, jnp.asarray(probs))
             return cc2, traj.rewards.sum()
         c, r = jax.lax.scan(body, c, None, length=reps)
-        return c, r.sum()
+        finite = jnp.isfinite(c.obs).all()
+        checksum = r.sum() + c.obs.sum() * 1e-12
+        return c, checksum, finite
 
     fn = jax.jit(iters, static_argnames="reps")
+    # pin all per-call inputs on the accelerator BEFORE timing: host numpy
+    # args would be re-shipped over the (slow) tunnel on every call and the
+    # wall clock would measure the transfer, not the chip (round-2 finding:
+    # ~17 s/call for the MCP params alone)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    norm = jax.device_put(norm, dev)
+    carry = jax.device_put(carry, dev)
     return fn, carry, params, norm, model
 
 
 def main():
     fn, carry, params, norm, model = build()
     # warmup / compile
-    carry1, s = fn(carry, params, norm, 1)
+    carry1, s, fin = fn(carry, params, norm, 1)
     _ = float(s)
 
+    # one rep per call: single device executions beyond ~50 s crash the
+    # tunneled TPU worker (observed twice in round 2), so reps are separate
+    # calls, each forced to completion by the scalar checksum fetch
     reps = 3
     t0 = time.time()
-    carry2, s = fn(carry1, params, norm, reps)
-    _ = float(s)
-    obs_host = np.asarray(jax.device_get(carry2.obs))
+    finite = True
+    for _ in range(reps):
+        carry1, s, fin = fn(carry1, params, norm, 1)
+        _ = float(s)
+        finite = finite and bool(fin)
     wall = (time.time() - t0) / reps
 
     control_steps = N_ENVS * N_STEPS
     substeps = control_steps * model.n_substeps
     sps = substeps / wall
     baseline_per_chip = 1_000_000 / 8.0
-    finite = bool(np.isfinite(obs_host).all())
     print(json.dumps({
         "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
         "value": round(sps, 1),

@@ -109,12 +109,19 @@ class UHCConfig:
             env_init_noise=self.env_init_noise,
             reactive_v=self.reactive_v, reactive_rate=self.reactive_rate,
             base_rot=self.base_rot,
+            reward_id=self.reward_id,
             w_p=rw.get("w_p", 0.3), w_v=rw.get("w_v", 0.1),
             w_e=rw.get("w_e", 0.45), w_c=rw.get("w_c", 0.1),
             w_vf=rw.get("w_vf", 0.05),
             k_p=rw.get("k_p", 2.0), k_v=rw.get("k_v", 0.005),
             k_e=rw.get("k_e", 5.0), k_c=rw.get("k_c", 100.0),
             k_vf=rw.get("k_vf", 1.0),
+            w_rp=rw.get("w_rp", 0.1), w_rv=rw.get("w_rv", 0.1),
+            k_rh=rw.get("k_rh", 300.0), k_rq=rw.get("k_rq", 300.0),
+            k_rl=rw.get("k_rl", 5.0), k_ra=rw.get("k_ra", 0.5),
+            w_cp=rw.get("w_cp", 0.0), k_cp=rw.get("k_cp", 1.0),
+            w_wp=rw.get("w_wp", 0.4), w_j=rw.get("w_j", 100.0),
+            k_wp=rw.get("k_wp", 0.4), k_j=rw.get("k_j", 100.0),
         )
 
     def train_config(self):
@@ -197,12 +204,16 @@ class KinPolyConfig:
 
         rw = self.policy_specs.get("reward_weights", {})
         return ARRewardWeights(
+            reward_id=self.policy_specs.get("reward_id",
+                                            "dynamic_supervision_v1"),
             w_hp=rw.get("w_hp", 0.15), w_hq=rw.get("w_hq", 0.15),
             w_p=rw.get("w_p", 0.2), w_jp=rw.get("w_jp", 0.2),
             w_act_p=rw.get("w_act_p", 0.2), w_act_v=rw.get("w_act_v", 0.1),
+            w_hv=rw.get("w_hv", 0.05),
             k_hp=rw.get("k_hp", 45.0), k_hq=rw.get("k_hq", 45.0),
             k_p=rw.get("k_p", 50.0), k_jp=rw.get("k_jp", 50.0),
             k_act_p=rw.get("k_act_p", 5.0), k_act_v=rw.get("k_act_v", 0.005),
+            k_rp=rw.get("k_rp", 0.1), k_rq=rw.get("k_rq", 0.1),
         )
 
     def train_config(self):

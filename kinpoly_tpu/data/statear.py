@@ -121,6 +121,15 @@ def derive_features(spec, qpos_seq: np.ndarray, obj_pose: np.ndarray,
     )
 
 
+def _ewma(x: np.ndarray, alpha: float = 0.3) -> float:
+    """Exponentially weighted success average (recent episodes weigh more);
+    0 for takes with no history (treated as hard -> sampled often)."""
+    if x.size == 0:
+        return 0.0
+    w = (1.0 - alpha) ** np.arange(x.size)[::-1]
+    return float((x * w).sum() / w.sum())
+
+
 @dataclass
 class StateARDataset:
     """Fixed-window sampler over a set of takes (host-side numpy; batches are
@@ -142,8 +151,27 @@ class StateARDataset:
     def n_takes(self):
         return len(self.takes)
 
-    def sample_window(self, rng: np.random.RandomState, take_idx=None):
-        i = take_idx if take_idx is not None else rng.choice(self.freq_indices)
+    def sample_window(self, rng: np.random.RandomState, take_idx=None,
+                      freq_dict=None, sampling_temp: float = 0.3,
+                      sampling_freq: float = 0.5):
+        """Adaptive window sampling (statear_smpl_dataset.py:295-338): with
+        probability `sampling_freq`, takes are drawn with probability
+        proportional to exp(-ewma(success)/temp) of their recent episode
+        outcomes in `freq_dict`; otherwise (and by default) proportional to
+        take length."""
+        if take_idx is not None:
+            i = take_idx
+        elif freq_dict:
+            probs = np.exp(-np.array([
+                _ewma(np.asarray(freq_dict.get(k, []), np.float64))
+                for k in range(self.n_takes)]) / sampling_temp)
+            probs = probs / probs.sum()
+            if rng.binomial(1, sampling_freq):
+                i = rng.choice(self.n_takes, p=probs)
+            else:
+                i = rng.choice(self.freq_indices)
+        else:
+            i = rng.choice(self.freq_indices)
         take = self.takes[i]
         T = take["qpos"].shape[0]
         fr = min(self.fr_num, T - 1)
@@ -151,11 +179,19 @@ class StateARDataset:
         return i, start, fr
 
     def get_batch(self, rng: np.random.RandomState, batch_size: int,
-                  use_of: bool = False) -> ClipData:
+                  use_of: bool = False, freq_dict=None,
+                  sampling_temp: float = 0.3,
+                  sampling_freq: float = 0.5) -> ClipData:
         fr = self.fr_num
         rows = []
+        lengths, take_ids = [], []
         for _ in range(batch_size):
-            i, start, f = self.sample_window(rng)
+            i, start, f = self.sample_window(
+                rng, freq_dict=freq_dict, sampling_temp=sampling_temp,
+                sampling_freq=sampling_freq)
+            T_take = self.takes[i]["qpos"].shape[0]
+            lengths.append(min(fr, T_take - start))
+            take_ids.append(i)
             take = self.takes[i]
             sl = slice(start, start + fr)
 
@@ -177,7 +213,9 @@ class StateARDataset:
             ))
         batch = {k: (np.stack([r[k] for r in rows]) if rows[0][k] is not None else None)
                  for k in rows[0]}
-        return ClipData(**batch)
+        return ClipData(**batch,
+                        length=np.asarray(lengths, np.int32),
+                        take_idx=np.asarray(take_ids, np.int32))
 
     def whole_take(self, i: int, use_of: bool = False) -> ClipData:
         t = self.takes[i]
@@ -189,6 +227,8 @@ class StateARDataset:
             action_one_hot=t["action_one_hot"][None],
             target=t["target"][None],
             of=t["of"][None] if use_of and "of" in t else None,
+            length=np.asarray([t["qpos"].shape[0]], np.int32),
+            take_idx=np.asarray([i], np.int32),
         )
 
 

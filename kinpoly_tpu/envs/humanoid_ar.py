@@ -35,19 +35,24 @@ from kinpoly_tpu.physics import fk as fklib
 
 @dataclass(frozen=True)
 class ARRewardWeights:
-    """dynamic_supervision_v1 weights (config/statear/kin_poly.yml:73-86)."""
+    """dynamic_supervision family weights (config/statear/kin_poly.yml:73-86;
+    defaults for v3-v6 from kin_poly/core/reward_function.py get() defaults)."""
+    reward_id: str = "dynamic_supervision_v1"
     w_hp: float = 0.15
     w_hq: float = 0.15
     w_p: float = 0.2
     w_jp: float = 0.2
     w_act_p: float = 0.2
     w_act_v: float = 0.1
+    w_hv: float = 0.05
     k_hp: float = 45.0
     k_hq: float = 45.0
     k_p: float = 50.0
     k_jp: float = 50.0
     k_act_p: float = 5.0
     k_act_v: float = 0.005
+    k_rp: float = 0.1
+    k_rq: float = 0.1
     v_ord: int = 2
 
 
@@ -67,7 +72,10 @@ class ARContext(NamedTuple):
     ar_wbpos: jax.Array
     init_qpos: jax.Array     # (N, 76)
     init_qvel: jax.Array     # (N, 75)
-    length: jax.Array        # (N,) int32 (episode len = frames - 1)
+    length: jax.Array        # (N,) int32 (episode len = true frames - 1;
+    #                          padded frames do NOT count toward coverage)
+    context_feat: jax.Array = None   # (N, T, H) per-step context GRU features
+    #                                  (use_context / use_of configs)
 
 
 class AREnvState(NamedTuple):
@@ -101,7 +109,8 @@ class HumanoidAREnv:
                  cc_log_std: float = -2.3,
                  body_diff_thresh: float = 10.0,
                  body_diff_gt_thresh: float = 12.0,
-                 env_episode_len: int = 100000):
+                 env_episode_len: int = 100000,
+                 policy_v: int = 1):
         self.model = model
         self.kin_cfg = kin_cfg
         self.cc_cfg = cc_cfg
@@ -119,9 +128,14 @@ class HumanoidAREnv:
         self.base_rot = jnp.asarray(cc_cfg.base_rot)
         spec = model.spec
         self.head_idx = spec.body_index("Head")
-        from kinpoly_tpu.config.defaults import body_diff_weights
+        from kinpoly_tpu.config.defaults import (b_diff_weights_pose,
+                                                 body_diff_weights)
         self.jpos_diffw = jnp.asarray(body_diff_weights(spec))
-        self.action_dim = kin_cfg.action_dim  # 80 (policy_v=1)
+        self.b_diffw = jnp.asarray(b_diff_weights_pose(spec))
+        self.policy_v = policy_v
+        # policy_v=1: 80-d kinematic update; policy_v=2: 76-d qpos directly
+        # (humanoid_ar_v1.py:251-254)
+        self.action_dim = 76 if policy_v == 2 else kin_cfg.action_dim
 
     # -- context access ------------------------------------------------------
     # The context bank is refreshed every training epoch (new windows + new
@@ -145,18 +159,43 @@ class HumanoidAREnv:
 
     # -- observation (get_ar_obs_v1, humanoid_ar_v1.py:133) ------------------
 
+    def _sim_obj_pose(self, state: AREnvState, ctx=None):
+        """The active object's pose as the obs sees it: simulated when the
+        objects are free bodies (reference get_ar_obs_v1 reads
+        env.get_obj_qpos(), i.e. the sim), context data otherwise."""
+        if self.model.movable_objects and state.sim.obj_qpos is not None:
+            a_oh = self._at(ctx, state, "action_one_hot", 0)
+            o_idx = jnp.asarray([0, 1, 3, 4])[jnp.argmax(a_oh, axis=-1)]
+            return jnp.take_along_axis(
+                state.sim.obj_qpos, o_idx[..., None, None], axis=-2)[..., 0, :]
+        return self._at(ctx, state, "obj_pose", state.cur_t)
+
     def get_obs(self, state: AREnvState, ctx=None):
         t = state.cur_t
+        kc = self.kin_cfg
+        ctx_feat = None
+        if kc.use_context or kc.use_of:
+            the_ctx = self._ctx(ctx)
+            ctx_feat = (self._at(ctx, state, "context_feat", t)
+                        if the_ctx.context_feat is not None
+                        else jnp.zeros(state.sim.qpos.shape[:-1]
+                                       + (kc.rnn_hdim,), state.sim.qpos.dtype))
         obs, _ = ar_obs(
-            self.model.spec, self.kin_cfg,
+            self.model.spec, kc,
             state.sim.qpos, state.sim.qvel,
             self._at(ctx, state, "head_pose", t),
             self._at(ctx, state, "head_vels", t),
-            self._at(ctx, state, "obj_pose", t),
+            self._sim_obj_pose(state, ctx),
             self._at(ctx, state, "obj_head_relative_poses", t),
             self._at(ctx, state, "action_one_hot", 0),
+            context_feat_t=ctx_feat,
             as_policy=True, noise=None,
         )
+        if self.policy_v == 2:
+            # the residual policy sees the AR rollout pose as the last 76
+            # entries (humanoid_ar_v1.py:209-210; policy_ar.py:191)
+            obs = jnp.concatenate(
+                [obs, self._at(ctx, state, "ar_qpos", t)], axis=-1)
         return obs
 
     # -- cc controller in-loop ------------------------------------------------
@@ -180,7 +219,9 @@ class HumanoidAREnv:
 
     # -- step -----------------------------------------------------------------
 
-    def step(self, state: AREnvState, a: jax.Array, ctx=None):
+    def step(self, state: AREnvState, a: jax.Array, ctx=None, cc_params=None):
+        """`cc_params` overrides the frozen UHC controller weights — used by
+        joint_controller fine-tuning (kin_poly/core/agent_ar.py:749,774)."""
         spec = self.model.spec
         rng, k_cc = jax.random.split(state.rng)
 
@@ -188,13 +229,16 @@ class HumanoidAREnv:
         prev_bquat = state.prev_bquat
         prev_hpos = state.prev_hpos
 
-        next_qpos = step_ar(prev_sim.qpos, a, self.kin_cfg)
+        if self.policy_v == 2:
+            next_qpos = a                       # action IS the next qpos
+        else:
+            next_qpos = step_ar(prev_sim.qpos, a, self.kin_cfg)
         target, tgt_fk = self.target_frame(next_qpos)
         tgt_bquat = fklib.body_quat_sim(spec, next_qpos)
 
         cc_obs = self.cc_obs(prev_sim, target)
-        cc_mean, cc_log_std = self.cc_policy_apply(self.cc_policy_params,
-                                                   cc_obs)
+        cc_mean, cc_log_std = self.cc_policy_apply(
+            self.cc_policy_params if cc_params is None else cc_params, cc_obs)
         mean_action = self.mode == "test"
         if mean_action:
             cc_action = cc_mean
@@ -202,10 +246,15 @@ class HumanoidAREnv:
             cc_action = cc_mean + jnp.exp(cc_log_std) * jax.random.normal(
                 k_cc, cc_mean.shape, cc_mean.dtype)
 
-        obj_qpos = self.convert_obj_qpos(
-            self._at(ctx, state, "action_one_hot", 0),
-            self._at(ctx, state, "obj_pose", 0)) \
-            if self.model.scene is not None else None
+        if self.model.movable_objects:
+            # objects live in the sim state (substep integrates them)
+            obj_qpos = None
+        elif self.model.scene is not None:
+            obj_qpos = self.convert_obj_qpos(
+                self._at(ctx, state, "action_one_hot", 0),
+                self._at(ctx, state, "obj_pose", 0))
+        else:
+            obj_qpos = None
         sim = eng.control_step(self.model, prev_sim, cc_action,
                                next_qpos[..., 7:], self.base_rot,
                                obj_qpos=obj_qpos)
@@ -213,7 +262,7 @@ class HumanoidAREnv:
         # terminate instead of letting NaNs block the auto-reset
         bad = ~(jnp.isfinite(sim.qpos).all(axis=-1)
                 & jnp.isfinite(sim.qvel).all(axis=-1))
-        sim = eng.SimState(
+        sim = sim._replace(
             qpos=jnp.where(bad[..., None], next_qpos, sim.qpos),
             qvel=jnp.where(bad[..., None], jnp.zeros_like(sim.qvel), sim.qvel))
 
@@ -263,6 +312,40 @@ class HumanoidAREnv:
         dt = self.model.control_dt
         ind = new_t
 
+        if rw.reward_id != "dynamic_supervision_v1":
+            # registry dispatch (kin_poly/core/reward_function.py:1292-1313)
+            import dataclasses
+
+            from kinpoly_tpu.rl import rewards as rwlib
+
+            fn = rwlib.get_kin_poly_reward(rw.reward_id)
+            spec = self.model.spec
+            cur_wbpos = fk_cur.xpos.reshape(sim.qpos.shape[:-1] + (-1,))
+            ar_qpos = self._at(ctx, state, "ar_qpos", ind)
+            ar_qpos_prev = self._at(ctx, state, "ar_qpos", jnp.maximum(ind - 1, 0))
+            inp = rwlib.ARRewardInputs(
+                head_pose=self._head_pose(fk_cur),
+                tgt_head_pose=self._at(ctx, state, "head_pose", ind),
+                bquat=cur_bquat,
+                wbpos=cur_wbpos,
+                tgt_bquat=tgt_bquat,
+                tgt_wbpos=target.wbpos,
+                gt_bquat=(gt_bq := self._at(ctx, state, "bquat", ind)),
+                gt_prev_bquat=(gt_pbq := self._at(
+                    ctx, state, "bquat", jnp.maximum(ind - 1, 0))),
+                gt_wbpos=self._at(ctx, state, "gt_wbpos", ind),
+                gt_bangvel=tmath.angvel_fd(gt_pbq, gt_bq, dt),
+                bangvel=tmath.angvel_fd(prev_bquat, cur_bquat, dt),
+                b_diffw=self.b_diffw,
+                tgt_qpos=target.qpos,
+                ar_qpos=ar_qpos,
+                ar_bquat=fklib.body_quat_sim(spec, ar_qpos),
+                ar_prev_bquat=fklib.body_quat_sim(spec, ar_qpos_prev),
+                prev_bquat=prev_bquat,
+            )
+            ws = {f.name: getattr(rw, f.name) for f in dataclasses.fields(rw)}
+            return fn(inp, ws, dt)
+
         tgt_hpose = self._at(ctx, state, "head_pose", ind)
         cur_hpose = self._head_pose(fk_cur)
 
@@ -309,7 +392,13 @@ class HumanoidAREnv:
             qpos0, qvel0 = c.ar_qpos[0], c.ar_qvel[0]
         else:
             qpos0, qvel0 = c.init_qpos, c.init_qvel
-        sim = eng.SimState(qpos=qpos0, qvel=qvel0)
+        if self.model.movable_objects:
+            obj0 = self.convert_obj_qpos(c.action_one_hot[0], c.obj_pose[0])
+            sim = eng.SimState(qpos=qpos0, qvel=qvel0, obj_qpos=obj0,
+                               obj_qvel=jnp.zeros(obj0.shape[:-1] + (6,),
+                                                  qpos0.dtype))
+        else:
+            sim = eng.SimState(qpos=qpos0, qvel=qvel0)
         fk0 = fklib.fk(self.model.spec, qpos0)
         state = AREnvState(
             sim=sim,
@@ -348,9 +437,10 @@ class HumanoidAREnv:
         return jnp.where(has_action[..., None, None], placed, out)
 
     def ar_fail_safe(self, state: AREnvState, ctx=None) -> AREnvState:
-        """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328)."""
+        """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328);
+        object state is left as simulated."""
         t = state.cur_t + 1
-        return state._replace(sim=eng.SimState(
+        return state._replace(sim=state.sim._replace(
             qpos=self._at(ctx, state, "ar_qpos", t),
             qvel=self._at(ctx, state, "ar_qvel", t)))
 

@@ -41,7 +41,9 @@ class EnvConfig:
     reactive_v: int = 1
     reactive_rate: float = 0.3
     base_rot: tuple = (0.7071, 0.7071, 0.0, 0.0)
-    # world_rfc_implicit reward weights (uhc.yml:37-48)
+    # reward selection + weights (uhc.yml:36-48; defaults for the extra
+    # families from uhc/core/reward_function.py get() defaults)
+    reward_id: str = "world_rfc_implicit"
     w_p: float = 0.3
     w_v: float = 0.1
     w_e: float = 0.45
@@ -53,6 +55,21 @@ class EnvConfig:
     k_c: float = 100.0
     k_vf: float = 1.0
     v_ord: int = 2
+    # local_rfc_* root terms
+    w_rp: float = 0.1
+    w_rv: float = 0.1
+    k_rh: float = 300.0
+    k_rq: float = 300.0
+    k_rl: float = 5.0
+    k_ra: float = 0.5
+    # *_explicit contact-point regularizer
+    w_cp: float = 0.0
+    k_cp: float = 1.0
+    # v2/v3 world-quat/jpos terms
+    w_wp: float = 0.4
+    w_j: float = 100.0
+    k_wp: float = 0.4
+    k_j: float = 100.0
 
 
 class TargetFrame(NamedTuple):
@@ -208,42 +225,60 @@ class HumanoidImEnv:
                             include_com=False)
         raise ValueError(f"obs_v {self.cfg.obs_v}")
 
-    # -- reward (world_rfc_implicit) ----------------------------------------
+    # -- reward (registry dispatch, uhc/core/reward_function.py:453-461) ----
 
     def reward(self, state: EnvState, next_sim: eng.SimState, action,
                fk_res: fklib.FKResult):
+        import dataclasses
+
+        from kinpoly_tpu.rl import rewards as rwlib
+
         cfg = self.cfg
         spec = self.model.spec
         e = self.expert_frame(state)  # reward indexes expert at cur_t (post-increment)
         dt = self.model.control_dt
+        rid = cfg.reward_id
+        fn = rwlib.get_uhc_reward(rid)
 
-        cur_ee = exlib.ee_world(spec, fk_res, self.ee_idx)
         cur_bquat = fklib.body_quat_sim(spec, next_sim.qpos)
-        cur_bangvel = tmath.angvel_fd(state.prev_bquat, cur_bquat, dt)
-        cur_com = fklib.com(spec, fk_res)
-
-        pose_diff = tmath.multi_quat_norm(tmath.multi_quat_diff(cur_bquat, e.bquat))
-        pose_diff = pose_diff.at[..., 1:].multiply(self.b_diffw)
-        pose_dist = jnp.linalg.norm(pose_diff, axis=-1)
-        pose_reward = jnp.exp(-cfg.k_p * pose_dist**2)
-
-        vel_dist = jnp.linalg.norm(cur_bangvel - e.bangvel, ord=cfg.v_ord, axis=-1)
-        vel_reward = jnp.exp(-cfg.k_v * vel_dist**2)
-
-        ee_dist = jnp.linalg.norm(cur_ee - e.ee_wpos, axis=-1)
-        ee_reward = jnp.exp(-cfg.k_e * ee_dist**2)
-
-        com_dist = jnp.linalg.norm(cur_com - e.com, axis=-1)
-        com_reward = jnp.exp(-cfg.k_c * com_dist**2)
-
-        vf = action[..., 69:69 + self.vf_dim]
-        vf_reward = jnp.exp(-cfg.k_vf * jnp.sum(vf * vf, axis=-1))
-
-        w_sum = cfg.w_p + cfg.w_v + cfg.w_e + cfg.w_c + cfg.w_vf
-        reward = (cfg.w_p * pose_reward + cfg.w_v * vel_reward + cfg.w_e * ee_reward
-                  + cfg.w_c * com_reward + cfg.w_vf * vf_reward) / w_sum
-        info = jnp.stack([pose_reward, vel_reward, ee_reward, com_reward, vf_reward], axis=-1)
-        return reward, info
+        kw = dict(
+            bquat=cur_bquat,
+            wbquat=fk_res.xquat.reshape(next_sim.qpos.shape[:-1] + (-1,)),
+            wbpos=fk_res.xpos.reshape(next_sim.qpos.shape[:-1] + (-1,)),
+            body_com=fk_res.xipos.reshape(next_sim.qpos.shape[:-1] + (-1,)),
+            com=fklib.com(spec, fk_res),
+            ee_wpos=exlib.ee_world(spec, fk_res, self.ee_idx),
+            bangvel=tmath.angvel_fd(state.prev_bquat, cur_bquat, dt),
+            head_pose=None,
+            e_bquat=e.bquat, e_wbquat=e.wbquat, e_wbpos=e.wbpos,
+            e_body_com=e.body_com, e_com=e.com, e_ee_wpos=e.ee_wpos,
+            e_bangvel=e.bangvel,
+            vf=action[..., 69:69 + self.vf_dim],
+            b_diffw=self.b_diffw,
+            jpos_diffw=self.jpos_diffw,
+        )
+        if rid.startswith("local_"):
+            # fd velocities of the *simulated* transition (reference computes
+            # them from prev_qpos -> cur_qpos, reward_function.py:188-193)
+            cur_qvel = tmath.qvel_fd(state.sim.qpos, next_sim.qpos, dt)
+            kw.update(
+                qpos=next_sim.qpos,
+                rq_rmh=tmath.de_heading(next_sim.qpos[..., 3:7]),
+                rlinv_local=cur_qvel[..., :3],
+                rangv=cur_qvel[..., 3:6],
+                ee_pos=exlib.ee_in_root(spec, fk_res, next_sim.qpos,
+                                        self.ee_idx, cfg.obs_coord),
+                e_qpos=e.qpos, e_rq_rmh=e.rq_rmh,
+                e_rlinv_local=e.rlinv_local, e_rangv=e.rangv,
+                e_ee_pos=e.ee_pos,
+            )
+        if rid.endswith("_explicit"):
+            c = self.model.ctrl
+            d = c.body_vf_dim
+            v = kw["vf"].reshape(kw["vf"].shape[:-1] + (len(c.vf_bodies), d))
+            kw.update(vf_cp=v[..., :3], vf_force=v[..., 3:])
+        ws = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+        return fn(rwlib.RewardInputs(**kw), ws)
 
     # -- termination ---------------------------------------------------------
 

@@ -181,3 +181,71 @@ def success_step(foot_on_step_frames: jax.Array, pelvis_z: jax.Array,
                  base_z: jax.Array, raise_thresh: float = 0.1) -> jax.Array:
     """Step succeeds with foot-on-step contact AND pelvis raised > 0.1 m."""
     return foot_on_step_frames.any() & ((pelvis_z.max() - base_z) > raise_thresh)
+
+
+# geometry sets from reference eval_pose_all.py:337-467 (geom ids there are
+# 1-indexed bodies; mapped to our spec body order): sit uses Pelvis/L_Hip/
+# R_Hip/Torso/Spine vs the chair, avoid uses bodies 1-12 vs the Can, step
+# uses the ankles/toes vs the step box.
+ACTIONS = ("sit", "push", "avoid", "step")
+_SIT_BODIES = (0, 1, 5, 9, 10)
+_AVOID_BODIES = tuple(range(12))
+_STEP_BODIES = (3, 4, 7, 8)
+_ACTION_OBJ = {"sit": 0, "push": 1, "avoid": 3, "step": 4}
+
+
+def _contact_frames(spec, scene, qpos_seq, obj_seq, bodies, obj_idx,
+                    verts, vert_body, margin=0.005):
+    """Per-frame bool: any candidate vert of `bodies` within `margin` of
+    any geom of object `obj_idx` (SDF stand-in for MuJoCo's contact list,
+    reference eval_pose_all.py:205-292)."""
+    from kinpoly_tpu.physics import contact as ct
+
+    res = fklib.fk(spec, qpos_seq)
+    bq = res.xquat[..., vert_body, :]
+    bp = res.xpos[..., vert_body, :]
+    world = bp + tmath.quat_rot_vec(bq, jnp.asarray(verts, qpos_seq.dtype))
+    dist, _ = ct.object_point_distances(scene, obj_seq, world)  # (T, G, P)
+    sel_g = np.asarray(scene.obj) == obj_idx
+    sel_p = np.isin(np.asarray(vert_body), np.asarray(bodies))
+    d = dist[:, sel_g][:, :, sel_p]
+    return (d <= margin).any(axis=(-2, -1))
+
+
+def action_success(spec, scene, qpos_pred: jax.Array, obj_seq: jax.Array,
+                   action: str, head_pose_pred=None, head_pose_gt=None,
+                   fail_safe_used: bool = False,
+                   verts=None, vert_body=None) -> bool:
+    """The paper's per-action success rules (eval_pose_all.py:337-467);
+    fail-safe use counts as failure (:459-460).
+
+    qpos_pred (T, 76); obj_seq (T, n_obj, 7) simulated object poses (or a
+    static (n_obj, 7) broadcast for non-push actions)."""
+    if verts is None:
+        from kinpoly_tpu.physics import contact as ct
+
+        verts, vert_body = ct.select_contact_vertices(spec, default_k=4)
+    if obj_seq.ndim == 2:
+        obj_seq = jnp.broadcast_to(obj_seq, (qpos_pred.shape[0],) + obj_seq.shape)
+
+    if action == "push":
+        box = obj_seq[:, _ACTION_OBJ["push"], :3]
+        succ = bool(jnp.max(jnp.linalg.norm(box - box[0], axis=-1)) > 0.1)
+    elif action == "sit":
+        hit = _contact_frames(spec, scene, qpos_pred, obj_seq, _SIT_BODIES,
+                              _ACTION_OBJ["sit"], verts, vert_body)
+        succ = bool(hit.any())
+    elif action == "avoid":
+        hit = _contact_frames(spec, scene, qpos_pred, obj_seq, _AVOID_BODIES,
+                              _ACTION_OBJ["avoid"], verts, vert_body)
+        drift = float(jnp.linalg.norm(
+            head_pose_pred[-1, :3] - head_pose_gt[-1, :3]))
+        succ = (not bool(hit.any())) and drift <= 0.5
+    elif action == "step":
+        hit = _contact_frames(spec, scene, qpos_pred, obj_seq, _STEP_BODIES,
+                              _ACTION_OBJ["step"], verts, vert_body)
+        pelvis_raise = qpos_pred[:, 2] - qpos_pred[0, 2]
+        succ = bool(hit.any()) and bool((pelvis_raise > 0.1).any())
+    else:  # "None" action
+        succ = True
+    return succ and not fail_safe_used

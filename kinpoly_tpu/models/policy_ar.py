@@ -44,26 +44,74 @@ def gaussian_filter1d_time(x: jax.Array, sigma: float = 1.0) -> jax.Array:
     return jnp.einsum("...tkd,k->...td", windows, w)
 
 
-class PolicyAR:
-    """Host-side bundle: TrajARNet module + Gaussian head constants."""
+class ActionDeltaNet(nets.nn.Module):
+    """policy_v=2 head (reference policy_ar.py:39-52, 190-198): a separate
+    GRU+MLP predicting a residual on the AR rollout pose appended to the obs;
+    action = action_delta + action_ar, action_dim = 76 (full qpos)."""
+    rnn_hdim: int = 512
+    mlp_hsize: tuple = (512, 256)
+    htype: str = "relu"
+    action_dim: int = 76
 
-    def __init__(self, spec, kin_cfg: TrajARConfig, log_std: float = -3.2):
+    def setup(self):
+        self.rnn = nets.nn.GRUCell(features=self.rnn_hdim)
+        self.mlp = nets.MLP(self.mlp_hsize, self.htype)
+        self.fc = nets.nn.Dense(self.action_dim)
+
+    def __call__(self, carry, obs):
+        action_ar = obs[..., -self.action_dim:]
+        carry, x = self.rnn(carry, obs)
+        delta = self.fc(self.mlp(x))
+        return carry, delta + action_ar
+
+
+class PolicyAR:
+    """Host-side bundle: TrajARNet module + Gaussian head constants.
+
+    policy_v=1: the TrajARNet step-GRU is the policy (action 80-d kinematic
+    update). policy_v=2: a residual GRU head on the AR rollout pose (action
+    76-d qpos, env integrates it verbatim); the TrajARNet ('old arnet') is
+    only used for init_context. Reference kin_poly/models/policy_ar.py:33-52.
+    """
+
+    def __init__(self, spec, kin_cfg: TrajARConfig, log_std: float = -3.2,
+                 policy_v: int = 1):
         self.spec = spec
         self.cfg = kin_cfg
+        self.policy_v = policy_v
         self.net = TrajARNet(spec=spec, cfg=kin_cfg, as_policy=True)
         self.log_std = log_std
-        self.action_dim = kin_cfg.action_dim
+        if policy_v == 2:
+            self.delta_net = ActionDeltaNet()
+            self.action_dim = 76
+            self.carry_dim = self.delta_net.rnn_hdim
+        else:
+            self.action_dim = kin_cfg.action_dim
+            self.carry_dim = kin_cfg.rnn_hdim
 
     def init_params(self, rng, example_data: ClipData):
-        return self.net.init(rng, example_data, 0.0, jax.random.PRNGKey(0))
+        k1, k2 = jax.random.split(rng)
+        arnet = self.net.init(k1, example_data, 0.0, jax.random.PRNGKey(0))
+        if self.policy_v == 2:
+            from kinpoly_tpu.models.traj_ar import obs_dim
+            d = obs_dim(self.cfg, as_policy=True) + 76
+            delta = self.delta_net.init(
+                k2, jnp.zeros((1, self.carry_dim)), jnp.zeros((1, d)))
+            return {"arnet": arnet, "delta": delta}
+        return arnet
+
+    def _arnet_params(self, params):
+        return params["arnet"] if self.policy_v == 2 else params
 
     # -- acting ---------------------------------------------------------------
 
     def init_carry(self, batch_shape=(), dtype=jnp.float32):
-        return jnp.zeros(batch_shape + (self.cfg.rnn_hdim,), dtype)
+        return jnp.zeros(batch_shape + (self.carry_dim,), dtype)
 
     def action_mean(self, params, gru_carry, obs):
         """One recurrent policy step -> (new_carry, action mean)."""
+        if self.policy_v == 2:
+            return self.delta_net.apply(params["delta"], gru_carry, obs)
         return self.net.apply(params, gru_carry, obs, method=TrajARNet.action)
 
     def distribution(self, params, gru_carry, obs):
@@ -99,8 +147,10 @@ class PolicyAR:
         init_qpos, init_qvel."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        feats = self.net.apply(params, data, 0.0, rng, False)
-        qpos0, qvel0, _ = self.net.apply(params, data, method=TrajARNet.init_states)
+        ap = self._arnet_params(params)
+        feats = self.net.apply(ap, data, 0.0, rng, False)
+        qpos0, qvel0, ctx_feat = self.net.apply(
+            ap, data, method=TrajARNet.init_states)
 
         ar_qpos = feats["qpos"]
         ar_qvel = feats["qvel"]
@@ -133,6 +183,10 @@ class PolicyAR:
             ar_bquat=fklib.body_quat_sim(self.spec, ar_qpos),
             init_qpos=init_qpos,
             init_qvel=qvel0,
+            # per-step context features for use_context/use_of obs
+            # (reference ar_context['context_feat_rnn'])
+            context_feat=(ctx_feat if (self.cfg.use_context or self.cfg.use_of)
+                          else None),
         )
 
     # -- supervised losses reused by the agent ---------------------------------
@@ -145,7 +199,10 @@ class PolicyAR:
         from kinpoly_tpu.models.traj_ar import step_ar
 
         means = self.action_means_over_time(params, obs_tn, prev_masks_tn)
-        next_qpos = step_ar(curr_qpos, means, self.cfg)
+        if self.policy_v == 2:
+            next_qpos = means          # the action is the next qpos itself
+        else:
+            next_qpos = step_ar(curr_qpos, means, self.cfg)
         loss, info = compute_loss_lite(self.spec, self.cfg, next_qpos, gt_qpos,
                                        reduce_mean=False)
         if masks_valid is not None:

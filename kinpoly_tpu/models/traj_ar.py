@@ -143,6 +143,8 @@ class ClipData(NamedTuple):
     action_one_hot: jax.Array            # (B, T, 4)
     target: jax.Array                    # (B, T, action_dim)
     of: jax.Array | None = None          # (B, T, of_dim)
+    length: jax.Array | None = None      # (B,) true (unpadded) window length
+    take_idx: jax.Array | None = None    # (B,) source take per window
 
 
 def ar_obs(spec, cfg: TrajARConfig, qpos, qvel, head_pose_t, head_vels_t,
@@ -315,6 +317,9 @@ class TrajARNet(nn.Module):
                  rngs_key: jax.Array | None = None, train: bool = False):
         c = self.cfg
         spec = self.spec
+        # drop per-window metadata (no time axis) before the (B, T, ...)
+        # tree transforms below
+        data = data._replace(length=None, take_idx=None)
         B, T = data.qpos.shape[:2]
         dtype = data.qpos.dtype
         if rngs_key is None:
@@ -333,8 +338,7 @@ class TrajARNet(nn.Module):
         def frame(data, t):
             return jax.tree.map(lambda x: x[:, t] if x is not None else None, data)
 
-        def obs_at(qpos, qvel, t_data, noise_key):
-            ctx_t = None
+        def obs_at(qpos, qvel, t_data, ctx_t, noise_key):
             return ar_obs(
                 spec, c, qpos, qvel, t_data.head_pose, t_data.head_vels,
                 t_data.obj_pose, t_data.obj_head_relative_poses,
@@ -344,28 +348,35 @@ class TrajARNet(nn.Module):
 
         data_tm = jax.tree.map(
             lambda x: jnp.moveaxis(x, 1, 0) if x is not None else None, data)
+        # per-step context features (use_context/use_of configs,
+        # traj_ar_smpl_net.py:138-178 + get_obs:212): ctx (B, T, H) from the
+        # batch context GRU, threaded through the rollout scan
+        use_ctx = c.use_context or c.use_of
+        ctx_tm = jnp.moveaxis(ctx, 1, 0) if use_ctx else None
 
         state0, feat0 = obs_at(qpos0, qvel0, frame(data, 0),
+                               ctx[:, 0] if use_ctx else None,
                                jax.random.fold_in(k_roll, 0))
 
         def scan_fn(mdl, carry, xs):
             qpos, qvel, gru, state = carry
-            t_data, keys = xs
+            t_data, ctx_t, keys = xs
             k_noise, k_ss = keys
             gru, act = mdl.action(gru, state)
             next_qpos, next_qvel = step_ar_with_vel(qpos, qvel, act, c)
             use_gt = jax.random.bernoulli(k_ss, gt_rate)
             next_qpos = jnp.where((gt_rate > 0) & use_gt, t_data.qpos, next_qpos)
             next_qvel = jnp.where((gt_rate > 0) & use_gt, t_data.qvel, next_qvel)
-            state, feat = obs_at(next_qpos, next_qvel, t_data, k_noise)
+            state, feat = obs_at(next_qpos, next_qvel, t_data, ctx_t, k_noise)
             return (next_qpos, next_qvel, gru, state), (feat, act)
 
         keys_noise = jax.random.split(jax.random.fold_in(k_roll, 1), T - 1)
         keys_ss = jax.random.split(jax.random.fold_in(k_roll, 2), T - 1)
         tail = jax.tree.map(lambda x: x[1:] if x is not None else None, data_tm)
+        ctx_tail = ctx_tm[1:] if use_ctx else None
         (qpos_T, qvel_T, gru_T, state_T), (feats, acts) = self._scan_rollout(
             scan_fn, (qpos0, qvel0, carry0, state0),
-            (tail, (keys_noise, keys_ss)))
+            (tail, ctx_tail, (keys_noise, keys_ss)))
 
         _, last_act = self.action(gru_T, state_T)
 

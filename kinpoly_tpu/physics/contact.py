@@ -181,6 +181,34 @@ def _sdf_cylinder(p: jax.Array, size: jax.Array):
     return dist, n
 
 
+def object_point_distances(scene: SceneGeoms, obj_qpos: jax.Array,
+                           points: jax.Array):
+    """SDF distance (and world normal) of world points (..., P, 3) to every
+    object geom placed at obj_qpos (..., n_obj, 7).
+    Returns (dist (..., G, P), normal (..., G, P, 3))."""
+    g_obj = scene.obj
+    op = obj_qpos[..., g_obj, :3]                     # (..., G, 3)
+    oq = obj_qpos[..., g_obj, 3:7]
+    gp = jnp.asarray(scene.pos, points.dtype)
+    gq = jnp.asarray(scene.quat, points.dtype)
+    # world geom frame
+    wq = tmath.quat_mul(oq, gq)
+    wp = op + tmath.quat_rot_vec(oq, gp)
+
+    # points in geom frame: (..., G, P, 3)
+    rel = points[..., None, :, :] - wp[..., :, None, :]
+    local = tmath.quat_rot_vec_inv(wq[..., :, None, :], rel)
+
+    size = jnp.asarray(scene.size, points.dtype)[:, None, :]  # (G, 1, 3)
+    d_box, n_box = _sdf_box(local, size)
+    d_cyl, n_cyl = _sdf_cylinder(local, size)
+    is_box = (jnp.asarray(scene.gtype) == 0)[..., :, None]
+    dist = jnp.where(is_box, d_box, d_cyl)
+    n_local = jnp.where(is_box[..., None], n_box, n_cyl)
+    normal = tmath.quat_rot_vec(wq[..., :, None, :], n_local)
+    return dist, normal
+
+
 def object_contacts(scene: SceneGeoms, obj_qpos: jax.Array,
                     cand_world: jax.Array, cand_body: np.ndarray,
                     k_top: int, margin: float = 0.001,
@@ -188,25 +216,7 @@ def object_contacts(scene: SceneGeoms, obj_qpos: jax.Array,
     """Humanoid candidate verts (already world, (..., V, 3)) vs the object
     primitives placed at obj_qpos (..., n_obj, 7). Returns top-K block."""
     g_obj = scene.obj
-    op = obj_qpos[..., g_obj, :3]                     # (..., G, 3)
-    oq = obj_qpos[..., g_obj, 3:7]
-    gp = jnp.asarray(scene.pos, cand_world.dtype)
-    gq = jnp.asarray(scene.quat, cand_world.dtype)
-    # world geom frame
-    wq = tmath.quat_mul(oq, gq)
-    wp = op + tmath.quat_rot_vec(oq, gp)
-
-    # verts in geom frame: (..., G, V, 3)
-    rel = cand_world[..., None, :, :] - wp[..., :, None, :]
-    local = tmath.quat_rot_vec_inv(wq[..., :, None, :], rel)
-
-    size = jnp.asarray(scene.size, cand_world.dtype)[:, None, :]  # (G, 1, 3)
-    d_box, n_box = _sdf_box(local, size)
-    d_cyl, n_cyl = _sdf_cylinder(local, size)
-    is_box = (jnp.asarray(scene.gtype) == 0)[..., :, None]
-    dist = jnp.where(is_box, d_box, d_cyl)
-    n_local = jnp.where(is_box[..., None], n_box, n_cyl)
-    normal = tmath.quat_rot_vec(wq[..., :, None, :], n_local)
+    dist, normal = object_point_distances(scene, obj_qpos, cand_world)
 
     depth = margin - dist                              # (..., G, V)
     depth_f = depth.reshape(depth.shape[:-2] + (-1,))

@@ -98,8 +98,11 @@ def make_vmappable_solver(iters: int):
 
     @solve.def_vmap
     def _batched(axis_size, in_batched, A, rhs, Dinv, R, mu, active):
-        del axis_size, in_batched
-        return pgs_solve_pallas(A, rhs, Dinv, R, mu, active, iters=iters), True
+        # inputs whose values don't depend on batched data (e.g. a constant
+        # friction vector from jnp.full) arrive UNBATCHED — broadcast them
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip((A, rhs, Dinv, R, mu, active), in_batched)]
+        return pgs_solve_pallas(*args, iters=iters), True
 
     return solve
 

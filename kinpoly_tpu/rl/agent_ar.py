@@ -68,6 +68,10 @@ class ARTrainConfig:
     step_update_dyna: bool = False
     init_update: bool = False
     full_update: bool = False
+    # fine-tune the UHC controller jointly with the kinematic policy
+    # (kin_poly/core/agent_ar.py:749 update_controller:774-792)
+    joint_controller: bool = False
+    cc_lr: float = 1e-5
 
 
 class AgentAR:
@@ -81,7 +85,8 @@ class AgentAR:
         self.np_rng = np.random.RandomState(cfg.seed)
         self.epoch = 0
 
-        self.policy = PolicyAR(env.model.spec, env.kin_cfg, cfg.log_std)
+        self.policy = PolicyAR(env.model.spec, env.kin_cfg, cfg.log_std,
+                               policy_v=getattr(env, "policy_v", 1))
         example = dataset.get_batch(self.np_rng, 1)
         self.rng, k = jax.random.split(self.rng)
         self.params = self.policy.init_params(k, example)
@@ -101,6 +106,13 @@ class AgentAR:
         self.val_opt_state = self.val_opt.init(self.value_params)
 
         self._rollout = roa.make_ar_rollout(env, self.policy, cfg.rollout_steps)
+        # joint_controller: live copy of the UHC weights, fine-tuned by PPO
+        # on the recorded cc transitions (reference update_controller)
+        self.cc_params = env.cc_policy_params
+        self.cc_opt = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.cc_lr))
+        self.cc_opt_state = self.cc_opt.init(self.cc_params)
         self._jit_full_sup = jax.jit(self._full_sup_step)
         self._jit_init_sup = jax.jit(self._init_sup_step)
         self._jit_build_ctx = jax.jit(self._build_context, static_argnums=(2,))
@@ -176,7 +188,11 @@ class AgentAR:
             ar_qpos=ar["ar_qpos"], ar_qvel=ar["ar_qvel"],
             ar_wbpos=ar["ar_wbpos"],
             init_qpos=ar["init_qpos"], init_qvel=ar["init_qvel"],
-            length=jnp.full((B,), T - 1, jnp.int32),
+            # true window lengths: padded frames must not count as tracked
+            # (round-1 coverage-inflation fix)
+            length=(batch.length - 1 if batch.length is not None
+                    else jnp.full((B,), T - 1, jnp.int32)),
+            context_feat=ar.get("context_feat"),
         )
 
     # ------------------------------------------------------------------
@@ -184,9 +200,11 @@ class AgentAR:
     # ------------------------------------------------------------------
 
     def _rl_and_step_update(self, params, value_params, pol_opt_state,
-                            val_opt_state, sup_opt_state, carry, ctx, rng):
+                            val_opt_state, sup_opt_state, carry, ctx, rng,
+                            cc_params=None, cc_opt_state=None):
         cfg = self.cfg
-        carry, traj = self._rollout(carry, params, ctx, mean_action=True)
+        carry, traj = self._rollout(carry, params, ctx, mean_action=True,
+                                    cc_params=cc_params)
         T, N = traj.rewards.shape
 
         values = self.value.apply(value_params, traj.obs)
@@ -265,20 +283,57 @@ class AgentAR:
                 length=cfg.num_step_update)
             bc_losses = jnp.concatenate([bc_losses, dyna_losses])
 
+        # joint_controller: PPO surrogate on the UHC policy over the recorded
+        # (cc_state, cc_action) transitions with the same advantages
+        # (reference update_controller:774-792; fixed log-probs computed from
+        # the pre-update controller)
+        cc_losses = jnp.zeros((1,))
+        if cfg.joint_controller and cc_params is not None:
+            cc_mean0, cc_ls0 = self.env.cc_policy_apply(
+                cc_params, flat(traj.cc_state))
+            cc_fixed_lp = nets.gaussian_log_prob(
+                flat(traj.cc_action), cc_mean0, cc_ls0)
+
+            def cc_epoch(ts, _):
+                cp, cs = ts
+
+                def cc_loss(p):
+                    m, ls = self.env.cc_policy_apply(p, flat(traj.cc_state))
+                    lp = nets.gaussian_log_prob(flat(traj.cc_action), m, ls)
+                    ratio = jnp.exp(lp - cc_fixed_lp)
+                    a = flat(adv)
+                    return -jnp.mean(jnp.minimum(
+                        ratio * a,
+                        jnp.clip(ratio, 1 - cfg.clip_epsilon,
+                                 1 + cfg.clip_epsilon) * a))
+
+                l, g = jax.value_and_grad(cc_loss)(cp)
+                u, cs = self.cc_opt.update(g, cs, cp)
+                return (optax.apply_updates(cp, u), cs), l
+
+            (cc_params, cc_opt_state), cc_losses = jax.lax.scan(
+                cc_epoch, (cc_params, cc_opt_state), None,
+                length=cfg.num_optim_epoch)
+
         metrics = dict(
             reward_mean=traj.rewards.mean(),
             ppo_loss=pls.mean(), value_loss=vls.mean(),
             bc_loss=bc_losses.mean(),
+            cc_loss=cc_losses.mean(),
             fail_frac=traj.fails.mean(),
         )
         return (params, value_params, pol_opt_state, val_opt_state, sup_state,
-                carry, metrics, traj.percents, traj.clips, traj.masks == 0)
+                carry, metrics, traj.percents, traj.clips, traj.masks == 0,
+                cc_params, cc_opt_state)
 
     def optimize_policy(self):
         """One full training epoch (agent_ar.optimize_policy:271)."""
         t0 = time.time()
         cfg = self.cfg
-        batch = self.dataset.get_batch(self.np_rng, cfg.n_envs)
+        batch = self.dataset.get_batch(
+            self.np_rng, cfg.n_envs, freq_dict=self.freq or None,
+            sampling_temp=cfg.sampling_temp, sampling_freq=cfg.sampling_freq)
+        self._batch_take_idx = np.asarray(batch.take_idx)
         ctx = self._jit_build_ctx(self.params, batch)
 
         self.rng, k_init, k_rl = jax.random.split(self.rng, 3)
@@ -288,11 +343,23 @@ class AgentAR:
 
         (self.params, self.value_params, self.pol_opt_state,
          self.val_opt_state, self.sup_opt_state, _, metrics,
-         percents, clips, dones) = self._jit_rl(
+         percents, clips, dones, self.cc_params, self.cc_opt_state) = self._jit_rl(
             self.params, self.value_params, self.pol_opt_state,
-            self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl)
+            self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl,
+            self.cc_params, self.cc_opt_state)
         metrics, percents, clips, dones = jax.device_get(
             (metrics, percents, clips, dones))
+
+        # per-take success history for adaptive window sampling
+        # (statear_smpl_dataset.py:295; the reference records (success, start)
+        # per finished episode into freq_dict)
+        T_r, N_r = np.asarray(dones).shape
+        for t in range(T_r):
+            for n in np.nonzero(np.asarray(dones)[t])[0]:
+                take = int(self._batch_take_idx[int(np.asarray(clips)[t, n])])
+                succ = 1.0 if float(np.asarray(percents)[t, n]) >= 1.0 else 0.0
+                self.freq.setdefault(take, []).append(succ)
+                self.freq[take] = self.freq[take][-50:]
 
         # host-side supervised extras (agent_ar.update_params:682 dispatch)
         if cfg.init_update:
@@ -323,6 +390,11 @@ class AgentAR:
                 params=jax.device_get(self.params),
                 value_params=jax.device_get(self.value_params),
                 epoch=self.epoch,
+                # cc_dict analogue (reference agent_ar.py:341-364): the
+                # jointly fine-tuned UHC controller weights
+                cc_params=(jax.device_get(self.cc_params)
+                           if self.cfg.joint_controller else None),
+                freq=self.freq,
             ), f)
         return str(path)
 
@@ -332,3 +404,7 @@ class AgentAR:
         self.params = blob["params"]
         self.value_params = blob["value_params"]
         self.epoch = blob["epoch"]
+        if blob.get("cc_params") is not None:
+            self.cc_params = blob["cc_params"]
+            self.cc_opt_state = self.cc_opt.init(self.cc_params)
+        self.freq = blob.get("freq", {}) or {}

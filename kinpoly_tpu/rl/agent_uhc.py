@@ -117,8 +117,10 @@ class UHCAgent:
         policy_apply = self.policy.apply
         cfg = self.cfg
 
-        def train_iter(carry, ts: ppo.TrainState, norm, clip_probs, rng):
-            carry, traj = self._rollout(carry, ts.policy_params, norm, clip_probs)
+        def train_iter(carry, ts: ppo.TrainState, norm, clip_probs, rng,
+                       noise_rate):
+            carry, traj = self._rollout(carry, ts.policy_params, norm,
+                                        clip_probs, noise_rate_t=noise_rate)
             # running-norm update from raw obs (stats frozen during rollout)
             new_norm = rn.update_batch(norm, traj.raw_obs)
 
@@ -160,9 +162,37 @@ class UHCAgent:
         p /= p.sum()
         return p
 
-    def train_epoch(self):
+    def _set_log_std(self, params, v: float):
+        """Overwrite every 'log_std' parameter leaf (adaptive schedule sets
+        the exploration std directly, copycat_config.py:158)."""
+        def walk(d):
+            if isinstance(d, dict):
+                return {k: (jnp.full_like(x, v) if k == "log_std" else walk(x))
+                        for k, x in d.items()}
+            return d
+        return walk(params)
+
+    def train_epoch(self, adaptive: dict | None = None):
+        """One PPO iteration. `adaptive` = cfg.adaptive_params(i_iter):
+        {noise_rate, log_std, policy_lr} interpolated schedules
+        (reference train_uhc.pre_iter_update -> update_adaptive_params).
+
+        Note: the log_std schedule needs fix_std=False (a log_std param
+        leaf); with fix_std=True the std is baked into the apply fn as a
+        compile-time constant and only noise_rate/policy_lr apply."""
         t0 = time.time()
         cfg = self.cfg
+        noise_rate = cfg.noise_rate
+        if adaptive is not None:
+            noise_rate = adaptive.get("noise_rate", noise_rate)
+            if not cfg.fix_std and "log_std" in adaptive:
+                self.train_state = self.train_state._replace(
+                    policy_params=self._set_log_std(
+                        self.train_state.policy_params, adaptive["log_std"]))
+            if "policy_lr" in adaptive:
+                self.train_state = self.train_state._replace(
+                    policy_opt=ppo.set_policy_lr(self.train_state.policy_opt,
+                                                 adaptive["policy_lr"]))
         probs = jnp.asarray(self.clip_probs())
         if self._carry is None:
             self.rng, k = jax.random.split(self.rng)
@@ -170,7 +200,8 @@ class UHCAgent:
         self.rng, k = jax.random.split(self.rng)
         (self._carry, self.train_state, self.norm, metrics,
          percents, clips, dones) = self._train_iter(
-            self._carry, self.train_state, self.norm, probs, k)
+            self._carry, self.train_state, self.norm, probs, k,
+            jnp.asarray(noise_rate, jnp.float32))
 
         # ONE bulk host fetch: per-array device_get round-trips dominate the
         # iteration wall time on tunneled TPUs

@@ -35,11 +35,25 @@ class TrainState(NamedTuple):
 
 
 def make_optimizers(cfg: PPOConfig):
+    # the policy lr is injected as a state hyperparameter so the adaptive
+    # schedules (copycat_config.py:149-166) can change it between iterations
+    # without recompiling (see set_policy_lr)
     pol = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
-                      optax.adam(cfg.policy_lr))
+                      optax.inject_hyperparams(optax.adam)(
+                          learning_rate=cfg.policy_lr))
     val = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                       optax.adam(cfg.value_lr))
     return pol, val
+
+
+def set_policy_lr(policy_opt_state, lr: float):
+    """Overwrite the injected learning_rate in a policy optimizer state
+    produced by make_optimizers."""
+    clip_state, inj = policy_opt_state
+    hp = dict(inj.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.asarray(
+        hp["learning_rate"]).dtype)
+    return (clip_state, inj._replace(hyperparams=hp))
 
 
 def ppo_update(policy_apply: Callable, value_apply: Callable,

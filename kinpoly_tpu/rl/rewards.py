@@ -40,6 +40,20 @@ class RewardInputs(NamedTuple):
     e_head_pose: jax.Array = None
     # action (for residual-force magnitude terms)
     vf: jax.Array = None
+    # explicit-RFC action split (local/world *_explicit rewards)
+    vf_cp: jax.Array = None            # (..., n_vb, 3) contact points
+    vf_force: jax.Array = None         # (..., n_vb, 3[+3]) forces (+torques)
+    # local-frame features (local_rfc_* rewards, reward_function.py:172-299)
+    qpos: jax.Array = None             # (..., 76) current
+    rq_rmh: jax.Array = None           # (..., 4) de-headed root quat
+    rlinv_local: jax.Array = None      # (..., 3) fd root lin vel, root frame
+    rangv: jax.Array = None            # (..., 3) fd root ang vel
+    ee_pos: jax.Array = None           # (..., 15) end-effectors in root frame
+    e_qpos: jax.Array = None
+    e_rq_rmh: jax.Array = None
+    e_rlinv_local: jax.Array = None
+    e_rangv: jax.Array = None
+    e_ee_pos: jax.Array = None
     # weights
     b_diffw: jax.Array = None          # (23,)
     jpos_diffw: jax.Array = None       # (24,)
@@ -123,10 +137,89 @@ def world_rfc_implicit_v3(inp: RewardInputs, ws: dict):
     return jnp.sum(comps * w, axis=-1), comps
 
 
+def _explicit_vf_rewards(inp: RewardInputs, k_vf, k_cp):
+    """Shared explicit-RFC regularizers (reward_function.py:283-296):
+    vf = sum ||force_i||^2, cp = sum ||contact_point_i||^2."""
+    vf_loss = jnp.sum(inp.vf_force**2, axis=(-2, -1))
+    cp_loss = jnp.sum(inp.vf_cp**2, axis=(-2, -1))
+    return jnp.exp(-k_vf * vf_loss), jnp.exp(-k_cp * cp_loss)
+
+
+def world_rfc_explicit(inp: RewardInputs, ws: dict):
+    """world_rfc_implicit terms + explicit vf/cp regularizers
+    (uhc/core/reward_function.py:105-170)."""
+    w_p, w_v, w_e = ws.get("w_p", 0.6), ws.get("w_v", 0.1), ws.get("w_e", 0.2)
+    w_c, w_vf, w_cp = ws.get("w_c", 0.1), ws.get("w_vf", 0.0), ws.get("w_cp", 0.0)
+    k_vf, k_cp = ws.get("k_vf", 1.0), ws.get("k_cp", 1.0)
+    _, comps = world_rfc_implicit(inp, dict(ws, w_vf=0.0))
+    pose_r, vel_r, ee_r, com_r = (comps[..., 0], comps[..., 1],
+                                  comps[..., 2], comps[..., 3])
+    vf_r, cp_r = _explicit_vf_rewards(inp, k_vf, k_cp)
+    total = w_p + w_v + w_e + w_c + w_vf + w_cp
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_c * com_r
+              + w_vf * vf_r + w_cp * cp_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, com_r, vf_r, cp_r], axis=-1)
+
+
+def _local_base(inp: RewardInputs, ws: dict):
+    """The five shared terms of the local_rfc_* family
+    (uhc/core/reward_function.py:172-231): non-root pose quats, non-root
+    body angular velocity, root-frame end effectors, root height +
+    de-headed root quat, and fd root velocities."""
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.005), ws.get("k_e", 20.0)
+    k_rh, k_rq = ws.get("k_rh", 300.0), ws.get("k_rq", 300.0)
+    k_rl, k_ra = ws.get("k_rl", 5.0), ws.get("k_ra", 0.5)
+    v_ord = ws.get("v_ord", 2)
+
+    # pose: ignore the root quat (cur_bquat[4:])
+    pd = tmath.multi_quat_norm(
+        tmath.multi_quat_diff(inp.bquat[..., 4:], inp.e_bquat[..., 4:]))
+    pd = pd * inp.b_diffw
+    pose_r = jnp.exp(-k_p * jnp.linalg.norm(pd, axis=-1) ** 2)
+
+    vel_r = jnp.exp(-k_v * _norm(
+        inp.bangvel[..., 3:] - inp.e_bangvel[..., 3:], v_ord) ** 2)
+
+    ee_r = jnp.exp(-k_e * _norm(inp.ee_pos - inp.e_ee_pos) ** 2)
+
+    rh_d = inp.qpos[..., 2] - inp.e_qpos[..., 2]
+    rq_d = tmath.multi_quat_norm(
+        tmath.multi_quat_diff(inp.rq_rmh, inp.e_rq_rmh))[..., 0]
+    root_pose_r = jnp.exp(-k_rh * rh_d**2 - k_rq * rq_d**2)
+
+    rl_d = _norm(inp.rlinv_local - inp.e_rlinv_local)
+    ra_d = _norm(inp.rangv - inp.e_rangv)
+    root_vel_r = jnp.exp(-k_rl * rl_d**2 - k_ra * ra_d**2)
+    return pose_r, vel_r, ee_r, root_pose_r, root_vel_r
+
+
 def local_rfc_implicit(inp: RewardInputs, ws: dict):
-    """Local-frame variant (:172): identical structure with the end-effector
-    term evaluated in the root frame (ee_pos features)."""
-    return world_rfc_implicit(inp, ws)
+    """uhc/core/reward_function.py:172-231."""
+    w_p, w_v, w_e = ws.get("w_p", 0.5), ws.get("w_v", 0.0), ws.get("w_e", 0.2)
+    w_rp, w_rv, w_vf = ws.get("w_rp", 0.1), ws.get("w_rv", 0.1), ws.get("w_vf", 0.1)
+    k_vf = ws.get("k_vf", 1.0)
+    pose_r, vel_r, ee_r, root_pose_r, root_vel_r = _local_base(inp, ws)
+    vf_r = jnp.where(w_vf > 0, jnp.exp(-k_vf * _norm(inp.vf) ** 2), 0.0)
+    total = w_p + w_v + w_e + w_rp + w_rv + w_vf
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_rp * root_pose_r
+              + w_rv * root_vel_r + w_vf * vf_r) / total
+    return reward, jnp.stack(
+        [pose_r, vel_r, ee_r, root_pose_r, root_vel_r, vf_r], axis=-1)
+
+
+def local_rfc_explicit(inp: RewardInputs, ws: dict):
+    """uhc/core/reward_function.py:234-299."""
+    w_p, w_v, w_e = ws.get("w_p", 0.4), ws.get("w_v", 0.0), ws.get("w_e", 0.2)
+    w_rp, w_rv = ws.get("w_rp", 0.1), ws.get("w_rv", 0.1)
+    w_vf, w_cp = ws.get("w_vf", 0.1), ws.get("w_cp", 0.1)
+    k_vf, k_cp = ws.get("k_vf", 20.0), ws.get("k_cp", 10.0)
+    pose_r, vel_r, ee_r, root_pose_r, root_vel_r = _local_base(inp, ws)
+    vf_r, cp_r = _explicit_vf_rewards(inp, k_vf, k_cp)
+    total = w_p + w_v + w_e + w_rp + w_rv + w_vf + w_cp
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_rp * root_pose_r
+              + w_rv * root_vel_r + w_vf * vf_r + w_cp * cp_r) / total
+    return reward, jnp.stack(
+        [pose_r, vel_r, ee_r, root_pose_r, root_vel_r, vf_r, cp_r], axis=-1)
 
 
 UHC_REWARDS: dict[str, Callable] = {
@@ -134,9 +227,9 @@ UHC_REWARDS: dict[str, Callable] = {
     "world_rfc_implicit_v1_mul": world_rfc_implicit_v1_mul,
     "world_rfc_implicit_v2": world_rfc_implicit_v2,
     "world_rfc_implicit_v3": world_rfc_implicit_v3,
+    "world_rfc_explicit": world_rfc_explicit,
     "local_rfc_implicit": local_rfc_implicit,
-    "local_rfc_explicit": local_rfc_implicit,
-    "world_rfc_explicit": world_rfc_implicit,
+    "local_rfc_explicit": local_rfc_explicit,
 }
 
 
@@ -150,7 +243,7 @@ class ARRewardInputs(NamedTuple):
     tgt_head_pose: jax.Array
     bquat: jax.Array
     wbpos: jax.Array
-    tgt_bquat: jax.Array      # AR target
+    tgt_bquat: jax.Array      # AR target (this step's integrated action)
     tgt_wbpos: jax.Array
     gt_bquat: jax.Array       # ground truth
     gt_prev_bquat: jax.Array
@@ -158,6 +251,12 @@ class ARRewardInputs(NamedTuple):
     gt_bangvel: jax.Array = None
     bangvel: jax.Array = None
     b_diffw: jax.Array = None
+    # ARNet-rollout action supervision (v3/v6: reward_function.py:1090-1110)
+    tgt_qpos: jax.Array = None       # env.target['qpos'] (integrated action)
+    ar_qpos: jax.Array = None        # ar_context['ar_qpos'][ind]
+    ar_bquat: jax.Array = None       # ar_context['ar_bquat'][ind]
+    ar_prev_bquat: jax.Array = None  # ar_context['ar_bquat'][ind-1]
+    prev_bquat: jax.Array = None     # simulated prev step
 
 
 def dynamic_supervision_v2(inp: ARRewardInputs, ws: dict, dt: float):
@@ -185,23 +284,77 @@ def dynamic_supervision_v2(inp: ARRewardInputs, ws: dict, dt: float):
     return reward, jnp.stack([hp_r, hq_r, pose_r, vel_r, ee_r], axis=-1)
 
 
-def dynamic_supervision_v3(inp: ARRewardInputs, ws: dict, dt: float):
-    """Multiplicative variant of v1's head + target-tracking terms (:1052)."""
+def _head_target_terms(inp: ARRewardInputs, ws: dict):
+    """hp/hq/p/jp — shared by v3-v6 (reward_function.py:1065-1088)."""
     k_hp, k_hq = ws.get("k_hp", 1.0), ws.get("k_hq", 1.0)
     k_p, k_jp = ws.get("k_p", 1.0), ws.get("k_jp", 0.1)
-
-    hp_r = jnp.exp(-k_hp * _norm(inp.head_pose[..., :3] - inp.tgt_head_pose[..., :3]) ** 2)
-    hq_d = multi_quat_norm_v2(tmath.quat_mul(
-        inp.head_pose[..., 3:], tmath.quat_inv(inp.tgt_head_pose[..., 3:]))).mean(-1)
+    hp_r = jnp.exp(-k_hp * _norm(
+        inp.head_pose[..., :3] - inp.tgt_head_pose[..., :3]) ** 2)
+    hq_d = multi_quat_norm_v2(tmath.multi_quat_diff(
+        inp.head_pose[..., 3:], inp.tgt_head_pose[..., 3:])).mean(-1)
     hq_r = jnp.exp(-k_hq * hq_d**2)
-    pq_d = multi_quat_norm_v2(tmath.multi_quat_diff(inp.bquat, inp.tgt_bquat)).mean(-1)
+    pq_d = multi_quat_norm_v2(
+        tmath.multi_quat_diff(inp.bquat, inp.tgt_bquat)).mean(-1)
     p_r = jnp.exp(-k_p * pq_d**2)
     shape = inp.wbpos.shape[:-1] + (24, 3)
-    pp_d = jnp.linalg.norm(inp.wbpos.reshape(shape) - inp.tgt_wbpos.reshape(shape),
-                           axis=-1).mean(-1)
+    pp_d = jnp.linalg.norm(
+        inp.wbpos.reshape(shape) - inp.tgt_wbpos.reshape(shape), axis=-1).mean(-1)
     jp_r = jnp.exp(-k_jp * pp_d**2)
-    comps = jnp.stack([hp_r, hq_r, p_r, jp_r], axis=-1)
-    return jnp.prod(comps, axis=-1), comps
+    return hp_r, hq_r, p_r, jp_r
+
+
+def dynamic_supervision_v3(inp: ARRewardInputs, ws: dict, dt: float):
+    """V2 multiplicative + ARNet action supervision (:1052-1120): the
+    integrated action (target qpos/bquat) is pulled toward the precomputed
+    AR rollout (rp/rq/act_p terms)."""
+    k_rp, k_rq = ws.get("k_rp", 0.1), ws.get("k_rq", 0.1)
+    k_act_p = ws.get("k_act_p", 0.1)
+    hp_r, hq_r, p_r, jp_r = _head_target_terms(inp, ws)
+    rp_d = _norm(inp.ar_qpos[..., :3] - inp.tgt_qpos[..., :3])
+    rq_d = multi_quat_norm_v2(tmath.multi_quat_diff(
+        inp.ar_qpos[..., 3:7], inp.tgt_qpos[..., 3:7])).mean(-1)
+    act_p_d = multi_quat_norm_v2(
+        tmath.multi_quat_diff(inp.ar_bquat, inp.tgt_bquat)).mean(-1)
+    rp_r = jnp.exp(-k_rp * rp_d**2)
+    rq_r = jnp.exp(-k_rq * rq_d**2)
+    act_p_r = jnp.exp(-k_act_p * act_p_d)   # note: not squared (:1111)
+    reward = hp_r * hq_r * p_r * jp_r * rp_r * rq_r * act_p_r
+    return reward, jnp.stack(
+        [hp_r, hq_r, p_r, jp_r, rp_r, rq_r, act_p_r], axis=-1)
+
+
+def dynamic_supervision_v4(inp: ARRewardInputs, ws: dict, dt: float):
+    """V4: no action-regularization terms (:1123-1174); additive."""
+    w_hp, w_hq = ws.get("w_hp", 1.0), ws.get("w_hq", 1.0)
+    w_hv, w_p, w_jp = ws.get("w_hv", 0.05), ws.get("w_p", 1.0), ws.get("w_jp", 1.0)
+    hp_r, hq_r, p_r, jp_r = _head_target_terms(inp, ws)
+    hv_r = jnp.zeros_like(hp_r)   # head-velocity term disabled in reference
+    reward = (w_hp * hp_r + w_hq * hq_r + w_hv * hv_r
+              + w_p * p_r + w_jp * jp_r)
+    return reward, jnp.stack([hp_r, hq_r, hv_r, p_r, jp_r], axis=-1)
+
+
+def dynamic_supervision_v5(inp: ARRewardInputs, ws: dict, dt: float):
+    """V5 = V4 multiplicative (:1176-1228)."""
+    hp_r, hq_r, p_r, jp_r = _head_target_terms(inp, ws)
+    reward = hp_r * hq_r * p_r * jp_r
+    return reward, jnp.stack([hp_r, hq_r, p_r, jp_r], axis=-1)
+
+
+def dynamic_supervision_v6(inp: ARRewardInputs, ws: dict, dt: float):
+    """V6: head + target tracking + angular velocity vs the AR rollout
+    (:1230-1285); additive."""
+    w_hp, w_hq = ws.get("w_hp", 1.0), ws.get("w_hq", 1.0)
+    w_p, w_jp, w_act_v = ws.get("w_p", 1.0), ws.get("w_jp", 1.0), ws.get("w_act_v", 1.0)
+    k_act_v = ws.get("k_act_v", 0.1)
+    v_ord = ws.get("v_ord", 2)
+    hp_r, hq_r, p_r, jp_r = _head_target_terms(inp, ws)
+    cur_bangvel = tmath.angvel_fd(inp.prev_bquat, inp.bquat, dt)
+    tgt_bangvel = tmath.angvel_fd(inp.ar_prev_bquat, inp.ar_bquat, dt)
+    act_v_r = jnp.exp(-k_act_v * _norm(cur_bangvel - tgt_bangvel, v_ord) ** 2)
+    reward = (w_hp * hp_r + w_hq * hq_r + w_p * p_r + w_jp * jp_r
+              + w_act_v * act_v_r)
+    return reward, jnp.stack([hp_r, hq_r, p_r, jp_r, act_v_r], axis=-1)
 
 
 def constant_reward(inp, ws, dt):
@@ -209,13 +362,44 @@ def constant_reward(inp, ws, dt):
     return one, one[..., None]
 
 
+# The reference registry lists 22 ids (kin_poly/core/reward_function.py:
+# 1292-1313). The dynamic_supervision family, which every shipped config
+# uses, is implemented (v1 lives in HumanoidAREnv._reward: it needs
+# env-local prev-state bookkeeping). The legacy ids below belong to retired
+# experiments (video-feature / fine-tune variants) and raise KeyError with
+# a pointer instead of silently training with the wrong formula.
+LEGACY_KIN_POLY_IDS = (
+    "quat_v2", "quat_v3", "deep_mimic", "deep_mimic_v2",
+    "multiplicable_reward", "local_world_v1", "local_world_v2",
+    "local_world_v3", "world_quat", "world_quat_v2",
+    "fine_tune_action_reward", "fine_tune_reward",
+    "fine_tune_kin_action_reward", "deep_mimic_reward_v2_vf",
+    "deep_mimic_reward_v2_vf_vq",
+)
+
 KIN_POLY_REWARDS: dict[str, Callable] = {
     # dynamic_supervision_v1 is implemented inside HumanoidAREnv (it needs
     # env-local prev-state bookkeeping); registered there.
     "dynamic_supervision_v2": dynamic_supervision_v2,
     "dynamic_supervision_v3": dynamic_supervision_v3,
+    "dynamic_supervision_v4": dynamic_supervision_v4,
+    "dynamic_supervision_v5": dynamic_supervision_v5,
+    "dynamic_supervision_v6": dynamic_supervision_v6,
     "constant": constant_reward,
 }
+
+
+def get_kin_poly_reward(reward_id: str) -> Callable:
+    if reward_id in LEGACY_KIN_POLY_IDS:
+        raise KeyError(
+            f"kin-poly reward_id {reward_id!r} is a retired legacy "
+            f"experiment (reference kin_poly/core/reward_function.py) and is "
+            f"not ported; use one of {sorted(KIN_POLY_REWARDS)} or "
+            f"'dynamic_supervision_v1'")
+    if reward_id not in KIN_POLY_REWARDS:
+        raise KeyError(f"unknown kin-poly reward_id {reward_id!r}; "
+                       f"available: {sorted(KIN_POLY_REWARDS)}")
+    return KIN_POLY_REWARDS[reward_id]
 
 
 def get_uhc_reward(reward_id: str) -> Callable:

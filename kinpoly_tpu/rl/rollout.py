@@ -51,7 +51,13 @@ def make_rollout(env, policy_apply: Callable, n_steps: int,
     v_reset = jax.vmap(env.reset)
 
     def rollout(carry: RolloutState, policy_params, norm: rn.RunningNorm,
-                clip_probs: jax.Array, mean_action: bool = False):
+                clip_probs: jax.Array, mean_action: bool = False,
+                noise_rate_t=None):
+        """`noise_rate_t` (traced scalar) overrides the construction-time
+        noise rate — used by the adaptive schedules
+        (copycat_config.py:149-166)."""
+        nr = noise_rate if noise_rate_t is None else noise_rate_t
+
         def step_fn(c: RolloutState, _):
             rng, k_act, k_noise, k_clip, k_reset = jax.random.split(c.rng, 5)
             obs_n = rn.apply(norm, c.obs)
@@ -60,7 +66,7 @@ def make_rollout(env, policy_apply: Callable, n_steps: int,
             if mean_action:
                 use_mean = jnp.ones((n_envs,), bool)
             else:
-                use_mean = ~jax.random.bernoulli(k_noise, noise_rate, (n_envs,))
+                use_mean = ~jax.random.bernoulli(k_noise, nr, (n_envs,))
             noise = jax.random.normal(k_act, mean.shape, mean.dtype)
             action = mean + jnp.where(use_mean[:, None], 0.0, 1.0) * jnp.exp(log_std) * noise
             log_prob = nets.gaussian_log_prob(action, mean, log_std)

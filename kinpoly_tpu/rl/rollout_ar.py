@@ -36,6 +36,8 @@ class ARTrajectory(NamedTuple):
     ends: jax.Array
     percents: jax.Array
     clips: jax.Array
+    obj_qpos: jax.Array = None   # (N, n_obj, 7) simulated object poses
+    #                              (movable-objects models only)
 
 
 class ARRolloutState(NamedTuple):
@@ -45,15 +47,23 @@ class ARRolloutState(NamedTuple):
     rng: jax.Array
 
 
-def make_ar_rollout(env, policy, n_steps: int):
+def make_ar_rollout(env, policy, n_steps: int, fail_safe: bool = False):
     """policy: models.policy_ar.PolicyAR. Returns
-    rollout(carry, params, mean_action) -> (carry, ARTrajectory)."""
+    rollout(carry, params, mean_action) -> (carry, ARTrajectory).
+
+    fail_safe=True reproduces the reference eval semantics
+    (eval_ar_policy.py:178-200): on tracking failure the sim teleports to
+    the AR-predicted pose (env.ar_fail_safe) and the episode continues to
+    the end of the clip; the teleports are recorded in `fails` and count
+    against per-action success (eval_pose_all.py:459-460)."""
 
     def rollout(carry: ARRolloutState, params, ctx=None,
-                mean_action: bool = True):
+                mean_action: bool = True, cc_params=None):
         the_ctx = env.ctx if ctx is None else ctx
-        v_step = jax.vmap(lambda s, a: env.step(s, a, the_ctx))
+        v_step = jax.vmap(lambda s, a: env.step(s, a, the_ctx, cc_params))
         v_reset = jax.vmap(lambda k, i: env.reset(k, i, the_ctx))
+        v_failsafe = jax.vmap(lambda s: env.ar_fail_safe(s, the_ctx))
+        v_obs = jax.vmap(lambda s: env.get_obs(s, the_ctx))
         def step_fn(c: ARRolloutState, _):
             rng, k_act, k_reset = jax.random.split(c.rng, 3)
             gru, mean = policy.action_mean(params, c.gru, c.obs)
@@ -76,6 +86,18 @@ def make_ar_rollout(env, policy, n_steps: int):
 
             env_state, obs, reward, done, info = v_step(c.env_state, action)
 
+            if fail_safe:
+                # teleport on failure, keep rolling; only clip end terminates
+                fs = info["fail"] & ~info["end"]
+                tele = v_failsafe(env_state)
+                env_state = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        fs.reshape((-1,) + (1,) * (a.ndim - 1)), b, a),
+                    env_state, tele)
+                obs = jnp.where(fs[:, None], v_obs(env_state), obs)
+                done = info["end"]
+                info = dict(info, fail=fs)
+
             reset_keys = jax.random.split(k_reset, mean.shape[0])
             reset_state, reset_obs = v_reset(reset_keys, cur_clips)
             env_state2 = jax.tree.map(
@@ -93,6 +115,7 @@ def make_ar_rollout(env, policy, n_steps: int):
                 cc_action=info["cc_action"], cc_state=info["cc_state"],
                 fails=info["fail"], ends=info["end"],
                 percents=info["percent"], clips=cur_clips,
+                obj_qpos=env_state.sim.obj_qpos,
             )
             return ARRolloutState(env_state=env_state2, obs=next_obs,
                                   gru=gru, rng=rng), out

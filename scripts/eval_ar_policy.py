@@ -55,8 +55,9 @@ def main():
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         spec = parse_humanoid(
-            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
-        model = eng.build_model(spec, uhc_control_params(spec))
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
+        model = eng.build_model(spec, uhc_control_params(spec),
+                                with_objects=True, movable_objects=True)
         if args.data:
             takes = statear.load_annotations(args.data)
         else:
@@ -84,7 +85,8 @@ def main():
             model, cfg.traj_ar_config(), cc_cfg.env_config(),
             cfg.reward_weights(), context=None,
             cc_policy_apply=cc_apply, cc_policy_params=cc_params,
-            cc_norm=cc_norm, mode="test", wild=args.wild)
+            cc_norm=cc_norm, mode="test", wild=args.wild,
+            policy_v=cfg.policy_specs.get("policy_v", 1))
 
     agent = AgentAR(env, dataset, cfg.train_config())
     ckpt = os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p")
@@ -99,7 +101,8 @@ def main():
     ctx = agent._jit_build_ctx(agent.params, batch, True)
 
     n = dataset.n_takes
-    rollout = roa.make_ar_rollout(env, agent.policy, T_max - 1)
+    rollout = roa.make_ar_rollout(env, agent.policy, T_max - 1,
+                                  fail_safe=args.fail_safe)
     carry = roa.init_ar_rollout_state(
         env, agent.policy, jax.random.PRNGKey(7),
         jnp.arange(n, dtype=jnp.int32), ctx)
@@ -114,31 +117,66 @@ def main():
     masks = np.asarray(traj.masks)             # (T, N)
     percents = np.asarray(traj.percents)
     res_qpos = np.asarray(traj.res_qpos)
+    fails = np.asarray(traj.fails)
+    obj_traj = (np.asarray(traj.obj_qpos)
+                if traj.obj_qpos is not None else None)  # (T, N, n_obj, 7)
     cand_verts, cand_body = model.cand_verts, model.cand_body
+
+    from kinpoly_tpu.physics import fk as fklib
+    head_idx = spec.body_index("Head")
 
     os.makedirs(os.path.join(cfg.out_dir, "results"), exist_ok=True)
     rows = []
+    per_action = {}
     for i in range(n):
         done_steps = np.nonzero(masks[:, i] == 0)[0]
         end = int(done_steps[0]) + 1 if len(done_steps) else masks.shape[0]
         percent = float(percents[end - 1, i])
+        fs_count = int(fails[:end, i].sum())
         pred = res_qpos[:end, i]
         gt = np.asarray(batch.qpos[i, 1:end + 1])
         m = pose_metrics.evaluate_pair(spec, pred, gt, cand=(cand_verts, cand_body))
         m = {k: float(v) for k, v in m.items()}
         m["percent"] = percent
+        m["fail_safe"] = fs_count
+
+        # per-action success (eval_pose_all.py:337-467; fail-safe => fail)
+        a_oh = np.asarray(batch.action_one_hot[i, 0])
+        action = (pose_metrics.ACTIONS[int(a_oh.argmax())]
+                  if a_oh.sum() > 0 else "None")
+        obj_i = (obj_traj[:end, i] if obj_traj is not None
+                 else np.asarray(batch.obj_pose[i, :1]))
+        res_fk = fklib.fk(spec, jnp.asarray(pred))
+        head_pred = np.asarray(res_fk.xpos[:, head_idx])
+        gt_fk = fklib.fk(spec, jnp.asarray(gt))
+        head_gt = np.asarray(gt_fk.xpos[:, head_idx])
+        succ = pose_metrics.action_success(
+            spec, model.scene, jnp.asarray(pred), jnp.asarray(obj_i), action,
+            head_pose_pred=head_pred, head_pose_gt=head_gt,
+            fail_safe_used=fs_count > 0,
+            verts=cand_verts, vert_body=cand_body)
+        m["succ"] = float(succ)
+        per_action.setdefault(action, []).append(float(succ))
         rows.append(m)
         tag = "wild_" if args.wild else ""
         with open(os.path.join(cfg.out_dir, "results",
                                f"{args.iter:04d}_{tag}take{i}_coverage_full.pkl"), "wb") as f:
-            pickle.dump(dict(pred=pred, gt=gt, percent=percent), f)
-        logger.info(f"take {i}: pct {percent:.2f} " +
-                    " ".join(f"{k}:{v:.3f}" for k, v in m.items()))
+            pickle.dump(dict(pred=pred, gt=gt, percent=percent,
+                             fail_safe=fs_count > 0, action=action,
+                             obj_pose=obj_i, succ=bool(succ)), f)
+        logger.info(f"take {i} [{action}]: pct {percent:.2f} fs {fs_count} " +
+                    " ".join(f"{k}:{v:.3f}" for k, v in m.items()
+                             if k not in ("fail_safe",)))
 
     agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-    coverage = float(np.mean([r["percent"] >= 1.0 for r in rows]))
+    coverage = float(np.mean([r["percent"] >= 1.0 and r["fail_safe"] == 0
+                              for r in rows]))
     logger.info("MEAN  " + " ".join(f"{k}:{v:.3f}" for k, v in agg.items()))
-    logger.info(f"coverage: {coverage:.4f} over {n} takes")
+    for a in sorted(per_action):
+        logger.info(f"succ[{a}]: {np.mean(per_action[a]):.3f} "
+                    f"({len(per_action[a])} takes)")
+    logger.info(f"coverage: {coverage:.4f} over {n} takes "
+                f"(fail-safe counted as failure)")
 
 
 if __name__ == "__main__":

@@ -110,6 +110,7 @@ def main():
             cfg.reward_weights(), context=None,
             cc_policy_apply=cc_apply, cc_policy_params=cc_params,
             cc_norm=cc_norm, mode="train",
+            policy_v=cfg.policy_specs.get("policy_v", 1),
             body_diff_thresh=cfg.policy_specs.get("body_diff_thresh", 10.0),
             body_diff_gt_thresh=cfg.policy_specs.get("body_diff_gt_thresh", 12.0))
 

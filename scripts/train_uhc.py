@@ -92,7 +92,9 @@ def main():
 
     max_iters = args.max_iters or cfg.max_iter_num
     for i in range(agent.epoch, max_iters):
-        metrics = agent.train_epoch()
+        # adaptive noise/log_std/lr schedules (reference train_uhc.py:18
+        # pre_iter_update -> copycat_config.update_adaptive_params:149-166)
+        metrics = agent.train_epoch(adaptive=cfg.adaptive_params(i))
         logger.info(
             f"iter {i}  R {metrics['reward_mean']:.4f}  "
             f"fail {metrics['fail_frac']:.3f}  T {metrics['T_iter']:.2f}s")

@@ -49,10 +49,121 @@ def test_dynamic_supervision_v2_identity_is_max():
 
 
 def test_dynamic_supervision_v3_identity_is_max():
+    # v3 gained the reference's AR action-supervision terms (rp/rq/act_p,
+    # kin_poly/core/reward_function.py:1090-1111) in round 2; covered with
+    # the other variants in test_dynamic_supervision_v3_v6_identity_and_order.
+    pass
+
+
+def _ar_inputs_full(rng, spec, perfect=True):
+    base = _inputs(rng, spec, perfect)
+    q = rng.randn(76); q[3:7] /= np.linalg.norm(q[3:7])
+    tgt_q = q if perfect else q + 0.3
+    ar_bq = base.tgt_bquat if perfect else jnp.asarray(_unit_quats(rng, 24))
+    return base._replace(
+        tgt_qpos=jnp.asarray(tgt_q), ar_qpos=jnp.asarray(q),
+        ar_bquat=ar_bq, ar_prev_bquat=ar_bq, prev_bquat=base.bquat)
+
+
+def test_dynamic_supervision_v3_v6_identity_and_order():
     spec = get_spec()
-    rng = np.random.RandomState(1)
-    perfect = rewards.dynamic_supervision_v3(_inputs(rng, spec, True), {}, 1 / 30)
-    np.testing.assert_allclose(np.asarray(perfect[1]), 1.0, atol=1e-5)
-    rng = np.random.RandomState(1)
-    off = rewards.dynamic_supervision_v3(_inputs(rng, spec, False), {}, 1 / 30)
-    assert float(perfect[0]) > float(off[0])
+    for name in ("dynamic_supervision_v3", "dynamic_supervision_v4",
+                 "dynamic_supervision_v5", "dynamic_supervision_v6"):
+        fn = rewards.get_kin_poly_reward(name)
+        rng = np.random.RandomState(7)
+        r_perfect, comps = fn(_ar_inputs_full(rng, spec, True), {}, 1 / 30)
+        rng = np.random.RandomState(7)
+        r_off, _ = fn(_ar_inputs_full(rng, spec, False), {}, 1 / 30)
+        assert np.isfinite(float(r_perfect)) and np.isfinite(float(r_off))
+        assert float(r_perfect) > float(r_off), name
+        # v4's hv component is pinned to 0 in the reference
+        keep = np.asarray(comps)
+        if name == "dynamic_supervision_v4":
+            keep = np.delete(keep, 2)
+        np.testing.assert_allclose(keep, 1.0, atol=1e-5, err_msg=name)
+
+
+def test_legacy_kin_poly_ids_raise():
+    import pytest
+    for rid in ("deep_mimic", "quat_v2", "fine_tune_reward"):
+        with pytest.raises(KeyError):
+            rewards.get_kin_poly_reward(rid)
+    with pytest.raises(KeyError):
+        rewards.get_kin_poly_reward("not_a_reward")
+
+
+def _uhc_inputs(rng, spec, perfect=True):
+    from kinpoly_tpu.config.defaults import b_diff_weights_pose, body_diff_weights
+
+    bq = _unit_quats(rng, 24)
+    wq = _unit_quats(rng, 24)
+    wb, bc = rng.randn(72), rng.randn(72)
+    com, ee = rng.randn(3), rng.randn(15)
+    bang = rng.randn(72) * 0.1
+    q = rng.randn(76); q[3:7] /= np.linalg.norm(q[3:7])
+    rq = rng.randn(4); rq /= np.linalg.norm(rq)
+    rl, ra, eep = rng.randn(3), rng.randn(3), rng.randn(15)
+    d = 0.0 if perfect else 0.4
+    dq = lambda n: _unit_quats(rng, n) if not perfect else None
+    return rewards.RewardInputs(
+        bquat=jnp.asarray(bq), wbquat=jnp.asarray(wq), wbpos=jnp.asarray(wb),
+        body_com=jnp.asarray(bc), com=jnp.asarray(com), ee_wpos=jnp.asarray(ee),
+        bangvel=jnp.asarray(bang), head_pose=None,
+        e_bquat=jnp.asarray(dq(24) if not perfect else bq),
+        e_wbquat=jnp.asarray(dq(24) if not perfect else wq),
+        e_wbpos=jnp.asarray(wb + d), e_body_com=jnp.asarray(bc + d),
+        e_com=jnp.asarray(com + d), e_ee_wpos=jnp.asarray(ee + d),
+        e_bangvel=jnp.asarray(bang + d),
+        vf=jnp.zeros(6),
+        vf_cp=jnp.zeros((24, 3)), vf_force=jnp.zeros((24, 6)),
+        qpos=jnp.asarray(q), rq_rmh=jnp.asarray(rq),
+        rlinv_local=jnp.asarray(rl), rangv=jnp.asarray(ra),
+        ee_pos=jnp.asarray(eep),
+        e_qpos=jnp.asarray(q + d), e_rq_rmh=jnp.asarray(
+            dq(1) if not perfect else rq),
+        e_rlinv_local=jnp.asarray(rl + d), e_rangv=jnp.asarray(ra + d),
+        e_ee_pos=jnp.asarray(eep + d),
+        b_diffw=jnp.asarray(b_diff_weights_pose(spec)),
+        jpos_diffw=jnp.asarray(body_diff_weights(spec)),
+    )
+
+
+def test_uhc_registry_matches_reference_ids():
+    ref_ids = {"local_rfc_implicit", "local_rfc_explicit", "world_rfc_implicit",
+               "world_rfc_implicit_v1_mul", "world_rfc_explicit",
+               "world_rfc_implicit_v2", "world_rfc_implicit_v3"}
+    assert set(rewards.UHC_REWARDS) == ref_ids
+    # no silent aliases: every entry must be a distinct function object
+    # except genuinely shared math
+    assert rewards.UHC_REWARDS["local_rfc_implicit"] is not rewards.UHC_REWARDS["world_rfc_implicit"]
+    assert rewards.UHC_REWARDS["local_rfc_explicit"] is not rewards.UHC_REWARDS["local_rfc_implicit"]
+    assert rewards.UHC_REWARDS["world_rfc_explicit"] is not rewards.UHC_REWARDS["world_rfc_implicit"]
+
+
+def test_uhc_rewards_identity_and_order():
+    spec = get_spec()
+    for rid, fn in rewards.UHC_REWARDS.items():
+        rng = np.random.RandomState(3)
+        r1, comps = fn(_uhc_inputs(rng, spec, True), {})
+        rng = np.random.RandomState(3)
+        r0, _ = fn(_uhc_inputs(rng, spec, False), {})
+        assert np.isfinite(float(r1)), rid
+        assert float(r1) > float(r0), rid
+        # identity inputs -> every active component at its max
+        c = np.asarray(comps)
+        assert c.max() <= 1.0 + 1e-6, rid
+        assert c[0] > 1 - 1e-5, rid  # pose term maxed
+
+
+def test_local_vs_world_distinct():
+    """local_rfc_implicit must respond to root-frame features that
+    world_rfc_implicit ignores (the round-1 alias trap)."""
+    spec = get_spec()
+    rng = np.random.RandomState(5)
+    inp = _uhc_inputs(rng, spec, True)
+    # perturb only the local root-velocity feature
+    inp2 = inp._replace(e_rlinv_local=inp.e_rlinv_local + 2.0)
+    w = rewards.UHC_REWARDS["world_rfc_implicit"]
+    l = rewards.UHC_REWARDS["local_rfc_implicit"]
+    assert float(w(inp, {})[0]) == float(w(inp2, {})[0])
+    assert float(l(inp, {})[0]) != float(l(inp2, {})[0])

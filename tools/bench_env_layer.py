@@ -93,3 +93,25 @@ def roll(n):
 
 timed("rollout 1 step (policy+env+bookkeeping)", roll(1))
 timed("rollout 4 steps (per step)", roll(4), per=4)
+
+
+def roll_threaded(n):
+    """Like bench.py: thread the rollout carry across reps."""
+    r = ro.make_rollout(env, policy.apply, n, noise_rate=1.0)
+    def run():
+        def step(cc, _):
+            cc2, traj = r(cc, params, norm, probs)
+            return cc2, traj.rewards.sum()
+        c2, rr = jax.lax.scan(step, carry, None, length=REPS)
+        return rr.sum() + c2.obs.sum() * 1e-12
+    f = jax.jit(run)
+    _ = float(f())
+    t0 = time.time()
+    _ = float(f())
+    dt = (time.time() - t0) / REPS / n
+    print(f"{'rollout threaded-carry %d steps (per step)' % n:44s} {dt*1e3:9.2f} ms", flush=True)
+
+
+if os.environ.get("THREADED"):
+    roll_threaded(4)
+    roll_threaded(16)
