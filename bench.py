@@ -50,9 +50,16 @@ def build():
         spec = parse_humanoid(
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml"
         )
+        on_tpu = jax.default_backend() != "cpu"
         model = eng.build_model(
             spec, uhc_control_params(spec),
-            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS", "0"))),
+            # the Pallas batch-on-lanes kernels are the production path on
+            # TPU (5.2x the XLA-solver rollout at batch 2048); CPU runs keep
+            # the portable jnp solver
+            solver=os.environ.get("BENCH_SOLVER",
+                                  "pallas_ltdl" if on_tpu else "ltdl"),
+            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS",
+                                                   "1" if on_tpu else "0"))),
             use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "0"))))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)

@@ -178,11 +178,15 @@ class HumanoidImEnv:
 
     def __init__(self, model: eng.PhysicsModel, cfg: EnvConfig,
                  bank: exlib.ExpertClip, neutral_qpos: np.ndarray,
-                 neutral_qvel: np.ndarray, mode: str = "train"):
+                 neutral_qvel: np.ndarray, mode: str = "train",
+                 hard_states: tuple | None = None):
         self.model = model
         self.cfg = cfg
         self.bank = bank
         self.mode = mode
+        # (qpos (K, 76), qvel (K, 75)) hard-negative init bank (reactive_v=2)
+        self.hard_states = (tuple(jnp.asarray(x) for x in hard_states)
+                            if hard_states is not None else None)
         self.neutral_qpos = jnp.asarray(neutral_qpos)
         self.neutral_qvel = jnp.asarray(neutral_qvel)
         self.base_rot = jnp.asarray(cfg.base_rot)
@@ -370,6 +374,20 @@ class HumanoidImEnv:
             neutral = self.match_heading_and_pos(init_qpos, self.neutral_qpos.astype(init_qpos.dtype))
             init_qpos = jnp.where(use_neutral, neutral, init_qpos)
             init_qvel = jnp.where(use_neutral, self.neutral_qvel.astype(init_qvel.dtype), init_qvel)
+        elif cfg.reactive_v == 2 and self.mode == "train" and \
+                self.hard_states is not None:
+            # hard-negative init states harvested from failed rollouts
+            # (reference uhc/data_process/gen_states.py; scripts/gen_states.py
+            # produces the bank) matched to the expert's heading/xy
+            use_hard = jax.random.bernoulli(k2, cfg.reactive_rate)
+            hq, hv = self.hard_states
+            rng, k4 = jax.random.split(rng)
+            idx = jax.random.randint(k4, (), 0, hq.shape[0])
+            hard = self.match_heading_and_pos(
+                init_qpos, hq[idx].astype(init_qpos.dtype))
+            init_qpos = jnp.where(use_hard, hard, init_qpos)
+            init_qvel = jnp.where(use_hard, hv[idx].astype(init_qvel.dtype),
+                                  init_qvel)
 
         sim = eng.SimState(qpos=init_qpos, qvel=init_qvel)
         state = EnvState(

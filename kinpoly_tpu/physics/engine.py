@@ -274,13 +274,23 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         [jnp.zeros(qpos.shape[:-1] + (6,), dtype),
          jnp.broadcast_to(jkd_eff, qpos.shape[:-1] + (69,))], axis=-1)
 
-    if model.solver == "ltdl":
+    if model.solver in ("ltdl", "pallas_ltdl"):
         topo = model.topo
         R = ltdl.crba_packed(spec, tables, topo, ks, via_dense=False)
-        Rf_A = ltdl.factor(topo, ltdl.add_diag(topo, R, kd_full * model.dt))
-        Rf_M = ltdl.factor(topo, R)
-        solve_A = lambda rhs: ltdl.solve(topo, Rf_A, rhs)
-        solve_M = lambda B: ltdl.solve(topo, Rf_M, B)
+        if model.solver == "pallas_ltdl":
+            # batch-on-lanes kernels (physics/pallas_ltdl.py): ~3.7x faster
+            # factor than the XLA level-scheduled path on v5e; vmap-aware
+            # (unbatched traces fall back to the jnp path)
+            from kinpoly_tpu.physics import pallas_ltdl as pltdl
+            _factor = pltdl.make_vmappable_factor(topo)
+            _solve = pltdl.make_vmappable_solve(topo)
+        else:
+            _factor = lambda R_: ltdl.factor(topo, R_)
+            _solve = lambda Rf_, B_: ltdl.solve(topo, Rf_, B_)
+        Rf_A = _factor(ltdl.add_diag(topo, R, kd_full * model.dt))
+        Rf_M = _factor(R)
+        solve_A = lambda rhs: _solve(Rf_A, rhs[..., None])[..., 0]
+        solve_M = lambda B: _solve(Rf_M, B)
     else:
         M = dyn.mass_matrix(spec, tables, ks)
         if model.use_pallas_chol:

@@ -41,25 +41,29 @@ def _kernel(A_ref, rhs_ref, Dinv_ref, R_ref, mu_ref, act_ref, f_ref,
         scale = jnp.minimum(1.0, mu * fn / tnorm)
         return jnp.stack([fn, f3[1] * scale, f3[2] * scale])
 
-    def gs_block(k, f):
-        # rows of this contact block
+    def gs_block(k, _):
+        # rows of this contact block; f lives in the (mutable) output ref —
+        # Mosaic supports dynamic ref indexing but not dynamic_slice on
+        # loop-carried values
         Ak = A_ref[pl.ds(3 * k, 3), :]            # (3, C, T)
-        fk = jax.lax.dynamic_slice_in_dim(f, 3 * k, 3, axis=0)
+        fk = f_ref[pl.ds(3 * k, 3), :]            # (3, T)
         rk = rhs_ref[pl.ds(3 * k, 3), :]          # (3, T)
         Rk = R_ref[pl.ds(3 * k, 3), :]
         # residual: rk - Ak @ f - Rk * fk   (contract over C)
-        Af = jnp.sum(Ak * f[None, :, :], axis=1)  # (3, T)
+        Af = jnp.sum(Ak * f_ref[:][None, :, :], axis=1)  # (3, T)
         res = rk - Af - Rk * fk
         Dk = Dinv_ref[k]                          # (3, 3, T)
-        delta = jnp.einsum("ijt,jt->it", Dk, res)
+        # explicit contraction: Mosaic can't lower a batched 3x3 dot
+        delta = jnp.sum(Dk * res[None, :, :], axis=1)
         fk_new = project(fk + delta, mu_ref[k]) * act_ref[k][None, :]
-        return jax.lax.dynamic_update_slice_in_dim(f, fk_new, 3 * k, axis=0)
+        f_ref[pl.ds(3 * k, 3), :] = fk_new
+        return 0
 
-    def sweep(_, f):
-        return jax.lax.fori_loop(0, n_blocks, gs_block, f)
+    def sweep(_, c):
+        return jax.lax.fori_loop(0, n_blocks, gs_block, 0)
 
-    f0 = jnp.zeros((C, rhs_ref.shape[1]), rhs_ref.dtype)
-    f_ref[:] = jax.lax.fori_loop(0, iters, sweep, f0)
+    f_ref[:] = jnp.zeros((C, rhs_ref.shape[1]), rhs_ref.dtype)
+    jax.lax.fori_loop(0, iters, sweep, 0)
 
 
 @functools.lru_cache(maxsize=None)

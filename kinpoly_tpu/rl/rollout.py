@@ -34,6 +34,10 @@ class Trajectory(NamedTuple):
     percents: jax.Array     # episode progress fraction at each step
     clips: jax.Array        # clip index the env was tracking (int32)
     reward_info: jax.Array  # per-component reward decomposition (LoggerRL avg_c_info)
+    # post-step sim state (XLA dead-code-eliminates these when the consumer
+    # ignores them; gen_states harvests failure states from them)
+    qpos: jax.Array = None
+    qvel: jax.Array = None
 
 
 class RolloutState(NamedTuple):
@@ -73,6 +77,9 @@ def make_rollout(env, policy_apply: Callable, n_steps: int,
 
             cur_clips = c.env_state.clip_idx
             env_state, obs, reward, done, info = v_step(c.env_state, action)
+            # capture the post-step state BEFORE auto-reset overwrites
+            # terminated envs (gen_states wants the failure states)
+            sim_qpos, sim_qvel = env_state.sim.qpos, env_state.sim.qvel
 
             # auto-reset terminated envs with freshly sampled clips
             new_clips = jax.random.categorical(
@@ -96,6 +103,7 @@ def make_rollout(env, policy_apply: Callable, n_steps: int,
                 fails=info["fail"], ends=info["end"],
                 percents=info["percent"], clips=cur_clips,
                 reward_info=info["reward_info"],
+                qpos=sim_qpos, qvel=sim_qvel,
             )
             return RolloutState(env_state=env_state, obs=next_obs, rng=rng), out
 

@@ -38,8 +38,8 @@ def main():
     cfg = KinPolyConfig(args.cfg, args.out)
     logger = create_logger()
     spec = parse_humanoid(
-        "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
-    model = eng.build_model(spec, uhc_control_params(spec))
+        "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
+    model = eng.build_model(spec, uhc_control_params(spec), with_objects=True)
 
     tag = "wild_" if args.wild else ""
     pattern = os.path.join(cfg.out_dir, "results",
@@ -50,6 +50,7 @@ def main():
         return
 
     rows = []
+    per_action = {}
     for path in files:
         with open(path, "rb") as f:
             res = pickle.load(f)
@@ -59,12 +60,25 @@ def main():
             spec, pred[:T], gt[:T], cand=(model.cand_verts, model.cand_body))
         m = {k: float(v) for k, v in m.items()}
         m["percent"] = float(res.get("percent", 1.0))
+        # per-action success (computed at eval time by eval_ar_policy with
+        # fail-safe counted as failure; recompute from the pieces if absent)
+        if "succ" in res:
+            m["succ"] = float(res["succ"])
+        elif "action" in res and "obj_pose" in res:
+            m["succ"] = float(pose_metrics.action_success(
+                spec, model.scene, pred[:T], np.asarray(res["obj_pose"]),
+                res["action"], fail_safe_used=bool(res.get("fail_safe"))))
+        else:
+            m["succ"] = float(m["percent"] >= 1.0)
+        per_action.setdefault(res.get("action", "None"), []).append(m["succ"])
         rows.append(m)
         logger.info(os.path.basename(path) + "  " +
                     " ".join(f"{k}:{v:.3f}" for k, v in m.items()))
 
     agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-    agg["succ"] = float(np.mean([r["percent"] >= 1.0 for r in rows]))
+    for a in sorted(per_action):
+        logger.info(f"succ[{a}]: {np.mean(per_action[a]):.3f} "
+                    f"({len(per_action[a])} takes)")
     logger.info("".join(f"{k}:{v:.3f} \t " for k, v in agg.items()) +
                 f"--{args.cfg} | {args.iter} | {args.algo} | wild? {args.wild}")
 

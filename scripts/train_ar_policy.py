@@ -123,8 +123,12 @@ def main():
             logger.info(f"  {tag} step {i}: loss {loss:.4f}")
 
     max_epochs = args.max_epochs or cfg.policy_specs.get("max_iter_num", 20000)
+    from kinpoly_tpu.utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(cfg.model_dir, run_name=f"ar_{args.cfg}",
+                         use_wandb=True, config=dict(cfg=args.cfg))
     for i in range(agent.epoch, max_epochs):
         m = agent.optimize_policy()
+        mlog.log(i, m)
         logger.info(
             f"epoch {i}  R {m['reward_mean']:.4f}  bc {m['bc_loss']:.4f}  "
             f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  T {m['T_iter']:.2f}s")

@@ -63,9 +63,12 @@ def main():
     with jax.default_device(cpu):
         spec = parse_humanoid(
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
+        on_tpu = jax.default_backend() != "cpu"
         model = eng.build_model(
             spec, uhc_control_params(spec, rfc_scale=cfg.residual_force_scale,
-                                     meta_pd=cfg.meta_pd))
+                                     meta_pd=cfg.meta_pd),
+            solver="pallas_ltdl" if on_tpu else "ltdl",
+            use_pallas_pgs=on_tpu)
 
         standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
         if args.data:
@@ -90,16 +93,24 @@ def main():
     if args.iter > 0:
         agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
 
+    from kinpoly_tpu.utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(cfg.model_dir, run_name=f"uhc_{args.cfg}",
+                         use_wandb=True, config=dict(cfg=args.cfg))
+
     max_iters = args.max_iters or cfg.max_iter_num
     for i in range(agent.epoch, max_iters):
         # adaptive noise/log_std/lr schedules (reference train_uhc.py:18
         # pre_iter_update -> copycat_config.update_adaptive_params:149-166)
         metrics = agent.train_epoch(adaptive=cfg.adaptive_params(i))
+        mlog.log(i, metrics)
         logger.info(
             f"iter {i}  R {metrics['reward_mean']:.4f}  "
             f"fail {metrics['fail_frac']:.3f}  T {metrics['T_iter']:.2f}s")
         if (i + 1) % 200 == 0:
             cov, detail = agent.eval_coverage()
+            mlog.log(i, dict(coverage=cov,
+                             mean_tracked=float(detail["percent"].mean())),
+                     prefix="eval/")
             logger.info(f"iter {i}  coverage {cov:.3f}  "
                         f"mean tracked {float(detail['percent'].mean()):.1%}")
 
