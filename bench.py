@@ -118,7 +118,108 @@ def build():
     return fn, carry, params, norm, model
 
 
+def build_ar():
+    """The heavier dynamics-regulated workload: kinematic GRU policy ->
+    frozen UHC in-loop -> physics with movable objects (BENCH_ENV=ar)."""
+    from kinpoly_tpu.anim.mjcf import parse_humanoid
+    from kinpoly_tpu.config.config import KinPolyConfig, UHCConfig
+    from kinpoly_tpu.config.defaults import uhc_control_params
+    from kinpoly_tpu.data import statear
+    from kinpoly_tpu.envs.humanoid_ar import HumanoidAREnv
+    from kinpoly_tpu.models import nets
+    from kinpoly_tpu.models.policy_ar import PolicyAR
+    from kinpoly_tpu.physics import engine as eng
+    from kinpoly_tpu.rl import rollout_ar as roa, running_norm as rn
+    from kinpoly_tpu.rl.agent_ar import AgentAR
+
+    on_tpu = jax.default_backend() != "cpu"
+    with jax.default_device(CPU):
+        spec = parse_humanoid(
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
+        model = eng.build_model(
+            spec, uhc_control_params(spec),
+            with_objects=True, movable_objects=True,
+            solver=os.environ.get("BENCH_SOLVER",
+                                  "pallas_ltdl" if on_tpu else "ltdl"),
+            use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS",
+                                                   "1" if on_tpu else "0"))))
+        standing = joblib.load(STANDING)
+        q = np.asarray(standing["qpos"], np.float32)
+        rngn = np.random.RandomState(0)
+        T = N_STEPS + 2
+        seq = np.repeat(q[None], T, 0)
+        seq[:, 7:] += np.cumsum(
+            rngn.uniform(-0.003, 0.003, (T, 69)), 0).astype(np.float32)
+        obj = np.zeros((T, 7), np.float32)
+        obj[:, :3] = [1.0, 0.5, 0.4]
+        obj[:, 3] = 1
+        takes = [statear.derive_features(spec, seq, obj, action="sit")]
+        dataset = statear.StateARDataset(takes, fr_num=T)
+
+        cfg = KinPolyConfig("kin_poly", "/tmp/bench_ar")
+        cc_cfg = UHCConfig("uhc", "/tmp/bench_ar")
+        pol = nets.PolicyMCP(action_dim=75)
+        cc_params = jax.tree.map(np.asarray, pol.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 784), jnp.float32)))
+        env = HumanoidAREnv(
+            model, cfg.traj_ar_config(), cc_cfg.env_config(),
+            cfg.reward_weights(), context=None,
+            cc_policy_apply=pol.apply, cc_policy_params=cc_params,
+            cc_norm=rn.init(784), mode="train")
+        agent = AgentAR(env, dataset, cfg.train_config())
+
+    batch = dataset.get_batch(np.random.RandomState(0), N_ENVS)
+    ctx = agent._jit_build_ctx(agent.params, batch)
+    rollout = roa.make_ar_rollout(env, agent.policy, N_STEPS)
+    carry = roa.init_ar_rollout_state(
+        env, agent.policy, jax.random.PRNGKey(7),
+        jnp.arange(N_ENVS, dtype=jnp.int32), ctx)
+
+    def iters(c, p, ctx, reps):
+        def body(cc, _):
+            cc2, traj = rollout(cc, p, ctx, mean_action=True)
+            return cc2, traj.rewards.sum()
+        c, r = jax.lax.scan(body, c, None, length=reps)
+        finite = jnp.isfinite(c.obs).all()
+        return c, r.sum() + c.obs.sum() * 1e-12, finite
+
+    fn = jax.jit(iters, static_argnames="reps")
+    dev = jax.devices()[0]
+    carry = jax.device_put(carry, dev)
+    params = jax.device_put(agent.params, dev)
+    ctx = jax.device_put(ctx, dev)
+    return fn, carry, params, ctx, model
+
+
 def main():
+    if os.environ.get("BENCH_ENV", "uhc") == "ar":
+        fn, carry, params, ctx, model = build_ar()
+        carry1, s, fin = fn(carry, params, ctx, 1)
+        _ = float(s)
+        reps = 3
+        t0 = time.time()
+        finite = True
+        for _ in range(reps):
+            carry1, s, fin = fn(carry1, params, ctx, 1)
+            _ = float(s)
+            finite = finite and bool(fin)
+        wall = (time.time() - t0) / reps
+        control_steps = N_ENVS * N_STEPS
+        substeps = control_steps * model.n_substeps
+        print(json.dumps({
+            "metric": "kinematic-policy (AR) env throughput "
+                      "(GRU policy + frozen UHC in-loop + movable objects)",
+            "value": round(substeps / wall, 1),
+            "unit": "substeps/sec/chip",
+            "vs_baseline": round(substeps / wall / (1_000_000 / 8.0), 3),
+            "detail": {"n_envs": N_ENVS, "rollout_steps": N_STEPS,
+                       "obs_finite": finite,
+                       "control_steps_per_sec": round(control_steps / wall, 1),
+                       "wall_per_iter_s": round(wall, 3),
+                       "device": str(jax.devices()[0])},
+        }))
+        return
+
     fn, carry, params, norm, model = build()
     # warmup / compile
     carry1, s, fin = fn(carry, params, norm, 1)

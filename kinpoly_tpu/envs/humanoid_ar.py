@@ -125,7 +125,7 @@ class HumanoidAREnv:
         self.body_diff_thresh = body_diff_thresh
         self.body_diff_gt_thresh = body_diff_gt_thresh
         self.env_episode_len = env_episode_len
-        self.base_rot = jnp.asarray(cc_cfg.base_rot)
+        self.base_rot = jnp.asarray(cc_cfg.base_rot, jnp.float32)
         spec = model.spec
         self.head_idx = spec.body_index("Head")
         from kinpoly_tpu.config.defaults import (b_diff_weights_pose,

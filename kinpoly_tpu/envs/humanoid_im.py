@@ -189,7 +189,10 @@ class HumanoidImEnv:
                             if hard_states is not None else None)
         self.neutral_qpos = jnp.asarray(neutral_qpos)
         self.neutral_qvel = jnp.asarray(neutral_qvel)
-        self.base_rot = jnp.asarray(cfg.base_rot)
+        # f32 explicitly: under x64 a python-float tuple becomes f64
+        # and silently promotes the whole physics chain when the env
+        # data is f32 (scan carry dtype mismatch)
+        self.base_rot = jnp.asarray(cfg.base_rot, jnp.float32)
         spec = model.spec
         self.head_idx = spec.body_index("Head")
         self.ee_idx = fklib.make_body_index(spec, exlib.EE_NAMES)

@@ -62,7 +62,9 @@ class PolicyGaussian(nn.Module):
             log_std = jnp.full_like(mean, self.log_std_init)
         else:
             log_std = self.param(
-                "log_std", lambda k: jnp.full((self.action_dim,), self.log_std_init)
+                "log_std",
+                lambda k: jnp.full((self.action_dim,), self.log_std_init,
+                                   jnp.float32),
             )
             log_std = jnp.broadcast_to(log_std, mean.shape)
         return mean, log_std
@@ -83,12 +85,14 @@ class _PrimitiveBank(nn.Module):
                              x.shape[:-1] + (self.num_primitive, x.shape[-1]))
         act = _ACT[self.activation]
         for out in tuple(self.hidden) + (self.action_dim,):
+            # dtype pinned: flax initializer default is jnp.float_ which is
+            # f64 under x64 and would silently promote every apply
             w = self.param(
                 f"w_{out}_{h.shape[-1]}",
                 nn.initializers.lecun_normal(batch_axis=(0,)),
-                (self.num_primitive, h.shape[-1], out))
+                (self.num_primitive, h.shape[-1], out), jnp.float32)
             b = self.param(f"b_{out}_{h.shape[-1]}", nn.initializers.zeros,
-                           (self.num_primitive, out))
+                           (self.num_primitive, out), jnp.float32)
             h = jnp.einsum("...pi,pio->...po", h, w) + b
             if out != self.action_dim:
                 h = act(h)
@@ -119,7 +123,9 @@ class PolicyMCP(nn.Module):
             log_std = jnp.full_like(mean, self.log_std_init)
         else:
             log_std = self.param(
-                "log_std", lambda k: jnp.full((self.action_dim,), self.log_std_init)
+                "log_std",
+                lambda k: jnp.full((self.action_dim,), self.log_std_init,
+                                   jnp.float32),
             )
             log_std = jnp.broadcast_to(log_std, mean.shape)
         return mean, log_std

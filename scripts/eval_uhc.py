@@ -27,6 +27,10 @@ def main():
     p.add_argument("--iter", type=int, required=True)
     p.add_argument("--data", default=None)
     p.add_argument("--out", default="results")
+    p.add_argument("--metrics", action="store_true",
+                   help="also print the eval_pose_all metric row per clip "
+                        "(mpjpe/root/head/accel/vel/slide/pen of the tracked "
+                        "vs GT trajectories)")
     args = p.parse_args()
 
     from kinpoly_tpu.anim.mjcf import parse_humanoid
@@ -69,6 +73,53 @@ def main():
         logger.info(f"{name}: {'OK' if ok else 'FAIL'}  tracked {pct:.1%}")
     logger.info(f"coverage: {cov:.4f} over {len(detail['succ'])} clips  "
                 f"mean tracked {float(detail['percent'].mean()):.1%}")
+
+    if args.metrics:
+        # deterministic mean-action tracking per clip, no auto-reset; then
+        # the paper's metric suite of tracked vs GT qpos
+        # (reference eval_pose_all.py:176-196)
+        import jax.numpy as jnp
+        from kinpoly_tpu.metrics import pose_metrics
+        from kinpoly_tpu.rl import running_norm as rn
+
+        n = len(clips)
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        idxs = jnp.arange(n, dtype=jnp.int32)
+        policy_apply = agent.policy.apply
+        params = agent.train_state.policy_params
+        norm = agent.norm
+
+        @jax.jit
+        def track():
+            st, obs = jax.vmap(
+                lambda k, i: env.reset(k, i, deterministic=True))(keys, idxs)
+
+            def step(carry, _):
+                s, o = carry
+                mean, _ = policy_apply(params, rn.apply(norm, o))
+                s2, o2, r, d, info = jax.vmap(env.step)(s, mean)
+                return (s2, o2), (s2.sim.qpos, d)
+
+            _, (qpos_seq, dones) = jax.lax.scan(
+                step, (st, obs), None, length=t_max - 1)
+            return qpos_seq, dones
+
+        qpos_seq, dones = jax.device_get(track())    # (T-1, n, 76), (T-1, n)
+        rows = []
+        for i, (name, take) in enumerate(takes.items()):
+            gt = np.asarray(take["qpos"], np.float32)
+            T = gt.shape[0]
+            d = np.nonzero(dones[:, i])[0]
+            end = min(int(d[0]) + 1 if len(d) else T - 1, T - 1)
+            m = pose_metrics.evaluate_pair(
+                spec, qpos_seq[:end, i], gt[1:end + 1],
+                cand=(model.cand_verts, model.cand_body))
+            m = {k: float(v) for k, v in m.items()}
+            rows.append(m)
+            logger.info(f"{name}: " +
+                        " ".join(f"{k}:{v:.2f}" for k, v in m.items()))
+        agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+        logger.info("MEAN  " + " ".join(f"{k}:{v:.3f}" for k, v in agg.items()))
 
 
 if __name__ == "__main__":
