@@ -233,13 +233,29 @@ class StateARDataset:
 
 
 def load_annotations(path: str, spec=None) -> list[dict]:
-    """Load the reference annotation pickle (dict keyed by take name)."""
+    """Load takes: the reference annotation pickle (dict keyed by take
+    name, features precomputed), a list of already-derived takes
+    (tools/gen_ar_takes.py), or — when `spec` is given — a raw qpos bank
+    {name: {"qpos": (T, 76)}} whose features are derived on the fly."""
     import joblib
 
     data = joblib.load(path)
+    if isinstance(data, list):
+        return data
     takes = []
     for name, take in data.items():
         take = dict(take)
         take["name"] = name
+        if "target" not in take and spec is not None:
+            # raw qpos bank: derive the statear feature set
+            q = np.asarray(take["qpos"], np.float32)
+            obj = take.get("obj_pose")
+            if obj is None:
+                obj = np.zeros((q.shape[0], 7), np.float32)
+                obj[:, :3] = [100.0, 100.0, 0.5]
+                obj[:, 3] = 1.0
+            take = derive_features(spec, q, np.asarray(obj, np.float32),
+                                   action=take.get("action", "sit"))
+            take["name"] = name
         takes.append(take)
     return takes

@@ -464,5 +464,11 @@ def compute_loss_lite(spec, cfg: TrajARConfig, pred_qpos, gt_qpos,
 
 def compute_loss_init(spec, cfg: TrajARConfig, pred_qpos, gt_qpos,
                       pred_qvel, gt_qvel):
+    """Init-state supervision (reference compute_loss_init,
+    traj_ar_smpl_net.py:499-527). NOTE: the reference function accepts
+    pred_qvel/gt_qvel but never uses them — its loss is
+    w_rp*r_pos + w_rr*r_rot + w_p*p_rot + w_ee*ee only. We keep the same
+    signature and the same (velocity-free) behaviour."""
+    del pred_qvel, gt_qvel
     loss, info = compute_loss_lite(spec, cfg, pred_qpos, gt_qpos)
     return loss, info

@@ -59,7 +59,7 @@ def main():
         model = eng.build_model(spec, uhc_control_params(spec),
                                 with_objects=True, movable_objects=True)
         if args.data:
-            takes = statear.load_annotations(args.data)
+            takes = statear.load_annotations(args.data, spec=spec)
         else:
             standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
             q = np.asarray(standing["qpos"], np.float32)

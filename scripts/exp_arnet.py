@@ -50,7 +50,7 @@ def main():
         spec = parse_humanoid(
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
         if args.data:
-            takes = statear.load_annotations(args.data)
+            takes = statear.load_annotations(args.data, spec=spec)
         else:
             logger.info("no --data; synthetic standing takes (smoke run)")
             standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")

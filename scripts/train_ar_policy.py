@@ -81,7 +81,7 @@ def main():
         model = eng.build_model(spec, uhc_control_params(spec))
 
         if args.data:
-            takes = statear.load_annotations(args.data)
+            takes = statear.load_annotations(args.data, spec=spec)
         else:
             logger.info("no --data; synthesizing a standing take for smoke run")
             standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
