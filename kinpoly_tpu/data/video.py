@@ -112,3 +112,78 @@ def compute_of_features(frames: np.ndarray, encoder: FlowFeatureEncoder,
              for i in range(len(frames) - 1)]
     flows = np.stack([flows[0]] + flows)
     return encoder(flows)
+
+
+# ---------------------------------------------------------------------------
+# person-crop RGB feature extraction (reference kin_poly/data_process/
+# feature_extractor.py: SPIN-backbone features of the smoothed person bbox;
+# + smooth_bbox.py's temporal box smoothing). The SPIN weights are MPG-
+# licensed and not redistributable, so the backbone here is the framework's
+# own flax ResNet-18 — the pipeline shape (bbox smoothing -> square crop ->
+# normalize -> backbone -> per-frame feature vector) is identical and
+# pretrained parameters can be loaded via `params=`.
+# ---------------------------------------------------------------------------
+
+
+def smooth_bboxes(boxes: np.ndarray, window: int = 11) -> np.ndarray:
+    """Temporal moving-average smoothing of per-frame person boxes
+    (T, 4) [cx, cy, w, h] (reference smooth_bbox.py kalman/median filter)."""
+    T = len(boxes)
+    out = np.empty_like(boxes, dtype=np.float64)
+    r = window // 2
+    for t in range(T):
+        lo, hi = max(0, t - r), min(T, t + r + 1)
+        out[t] = np.median(boxes[lo:hi], axis=0)
+    return out
+
+
+def crop_person(frame: np.ndarray, box, out_size: int = 224,
+                scale: float = 1.2) -> np.ndarray:
+    """Square crop around [cx, cy, w, h] with margin, bilinear-resized to
+    (out_size, out_size, C) and normalized to [-1, 1] (reference
+    img_utils crop + SPIN constants)."""
+    cx, cy, w, h = box
+    s = max(w, h) * scale
+    x0, y0 = cx - s / 2, cy - s / 2
+    ys = np.clip(np.linspace(y0, y0 + s, out_size), 0, frame.shape[0] - 1)
+    xs = np.clip(np.linspace(x0, x0 + s, out_size), 0, frame.shape[1] - 1)
+    yi0 = np.floor(ys).astype(int)
+    xi0 = np.floor(xs).astype(int)
+    yi1 = np.minimum(yi0 + 1, frame.shape[0] - 1)
+    xi1 = np.minimum(xi0 + 1, frame.shape[1] - 1)
+    fy = (ys - yi0)[:, None, None] if frame.ndim == 3 else (ys - yi0)[:, None]
+    fx = (xs - xi0)[None, :, None] if frame.ndim == 3 else (xs - xi0)[None, :]
+    f = frame.astype(np.float64)
+    top = f[yi0][:, xi0] * (1 - fx) + f[yi0][:, xi1] * fx
+    bot = f[yi1][:, xi0] * (1 - fx) + f[yi1][:, xi1] * fx
+    crop = top * (1 - fy) + bot * fy
+    return (crop / 127.5 - 1.0).astype(np.float32)
+
+
+class PersonFeatureExtractor:
+    """Per-frame person features: smoothed bbox -> square crop -> ResNet-18
+    encode (the reference's SPIN feature_extractor.py pipeline)."""
+
+    def __init__(self, feature_dim: int = 2048, rng_seed: int = 0,
+                 params=None, crop_size: int = 224):
+        import jax
+        import jax.numpy as jnp
+
+        from kinpoly_tpu.models.aux_nets import ResNet18
+
+        self.crop_size = crop_size
+        self.net = ResNet18(out_dim=feature_dim)
+        dummy = jnp.zeros((1, crop_size, crop_size, 3), jnp.float32)
+        self.params = params or self.net.init(jax.random.PRNGKey(rng_seed), dummy)
+        self._apply = jax.jit(lambda p, x: self.net.apply(p, x))
+
+    def __call__(self, frames: np.ndarray, boxes: np.ndarray,
+                 batch: int = 32) -> np.ndarray:
+        """frames (T, H, W, 3) uint8, boxes (T, 4) [cx, cy, w, h] ->
+        (T, feature_dim)."""
+        boxes = smooth_bboxes(np.asarray(boxes, np.float64))
+        crops = np.stack([crop_person(f, b, self.crop_size)
+                          for f, b in zip(frames, boxes)])
+        feats = [np.asarray(self._apply(self.params, crops[i:i + batch]))
+                 for i in range(0, len(crops), batch)]
+        return np.concatenate(feats)

@@ -90,3 +90,25 @@ def test_uhc_reward_registry():
         r, comps = fn(inp, {})
         assert np.isfinite(float(r)), name
         assert np.isfinite(np.asarray(comps)).all(), name
+
+
+def test_person_feature_extractor():
+    """SPIN-pipeline-shaped frame features (data/video.py): bbox smoothing,
+    square crop, ResNet encode."""
+    import numpy as np
+    from kinpoly_tpu.data import video
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (6, 96, 128, 3), np.uint8)
+    boxes = np.tile([64.0, 48.0, 40.0, 60.0], (6, 1))
+    boxes[3] += [30, 0, 0, 0]            # an outlier detection
+    sm = video.smooth_bboxes(boxes, window=5)
+    assert abs(sm[3, 0] - 64.0) < 1e-9   # median filter rejects the jump
+
+    ex = video.PersonFeatureExtractor(feature_dim=32, crop_size=32)
+    feats = ex(frames, boxes, batch=4)
+    assert feats.shape == (6, 32)
+    assert np.isfinite(feats).all()
+    crop = video.crop_person(frames[0], boxes[0], out_size=32)
+    assert crop.shape == (32, 32, 3)
+    assert crop.min() >= -1.0 and crop.max() <= 1.0
