@@ -150,22 +150,22 @@ class AgentAR:
 
     def train_init(self, init_steps: int = 500, full_steps: int = 50,
                    gt_rate: float = 0.3, log_every: int = 50):
-        """Supervised warm start (agent_ar.train_init:366)."""
-        logs = []
+        """Supervised warm start (agent_ar.train_init:366). Yields
+        (phase, step, loss) as it goes (on tunneled TPUs each step pays a
+        host->device batch upload, so live progress matters)."""
         for i in range(init_steps):
             batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
             self.params, self.sup_opt_state, loss, _ = self._jit_init_sup(
                 self.params, self.sup_opt_state, batch)
             if i % log_every == 0:
-                logs.append(("init", i, float(loss)))
+                yield ("init", i, float(loss))
         for i in range(full_steps):
             batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
             self.rng, k = jax.random.split(self.rng)
             self.params, self.sup_opt_state, loss, _ = self._jit_full_sup(
                 self.params, self.sup_opt_state, batch, k, gt_rate)
             if i % log_every == 0:
-                logs.append(("full", i, float(loss)))
-        return logs
+                yield ("full", i, float(loss))
 
     # ------------------------------------------------------------------
     # context building

@@ -31,7 +31,12 @@ def main():
                    help="also print the eval_pose_all metric row per clip "
                         "(mpjpe/root/head/accel/vel/slide/pen of the tracked "
                         "vs GT trajectories)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the tunneled TPU plugin is "
+                        "pre-registered by sitecustomize; env vars are too late)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from kinpoly_tpu.anim.mjcf import parse_humanoid
     from kinpoly_tpu.config.config import UHCConfig

@@ -56,8 +56,17 @@ def main():
     p.add_argument("--iter", type=int, default=0)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--skip-init", action="store_true")
+    p.add_argument("--init-steps", type=int, default=500)
+    p.add_argument("--full-steps", type=int, default=50)
+    p.add_argument("--n-envs", type=int, default=None)
+    p.add_argument("--rollout-steps", type=int, default=None)
     p.add_argument("--out", default="results")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the tunneled TPU plugin is "
+                        "pre-registered by sitecustomize; env vars are too late)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from kinpoly_tpu.anim.mjcf import parse_humanoid
     from kinpoly_tpu.config.config import KinPolyConfig, UHCConfig
@@ -114,12 +123,19 @@ def main():
             body_diff_thresh=cfg.policy_specs.get("body_diff_thresh", 10.0),
             body_diff_gt_thresh=cfg.policy_specs.get("body_diff_gt_thresh", 12.0))
 
-    agent = AgentAR(env, dataset, cfg.train_config(), out_dir=cfg.model_dir)
+    tc = cfg.train_config()
+    if args.n_envs:
+        tc = tc.__class__(**{**tc.__dict__, "n_envs": args.n_envs})
+    if args.rollout_steps:
+        tc = tc.__class__(**{**tc.__dict__, "rollout_steps": args.rollout_steps})
+    agent = AgentAR(env, dataset, tc, out_dir=cfg.model_dir)
     if args.iter > 0:
         agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
     elif not args.skip_init:
         logger.info("supervised warm start (train_init)...")
-        for tag, i, loss in agent.train_init():
+        for tag, i, loss in agent.train_init(
+                init_steps=args.init_steps, full_steps=args.full_steps,
+                log_every=10):
             logger.info(f"  {tag} step {i}: loss {loss:.4f}")
 
     max_epochs = args.max_epochs or cfg.policy_specs.get("max_iter_num", 20000)

@@ -39,7 +39,12 @@ def main():
     p.add_argument("--n-envs", type=int, default=None)
     p.add_argument("--rollout-steps", type=int, default=None)
     p.add_argument("--out", default="results")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the tunneled TPU plugin is "
+                        "pre-registered by sitecustomize; env vars are too late)")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from kinpoly_tpu.anim.mjcf import parse_humanoid
     from kinpoly_tpu.config.config import UHCConfig
