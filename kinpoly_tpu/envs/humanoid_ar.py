@@ -233,6 +233,7 @@ class HumanoidAREnv:
             next_qpos = a                       # action IS the next qpos
         else:
             next_qpos = step_ar(prev_sim.qpos, a, self.kin_cfg)
+        next_qpos = self._sanitize_target(prev_sim.qpos, next_qpos)
         target, tgt_fk = self.target_frame(next_qpos)
         tgt_bquat = fklib.body_quat_sim(spec, next_qpos)
 
@@ -298,6 +299,14 @@ class HumanoidAREnv:
         info = dict(fail=fail, end=end, percent=percent,
                     cc_action=cc_action, cc_state=cc_obs, reward_info=rinfo)
         return new_state, obs, reward, done, info
+
+    def _sanitize_target(self, prev_qpos: jax.Array,
+                         next_qpos: jax.Array) -> jax.Array:
+        """Keep the kinematic target finite and physical: an under-trained
+        policy can emit extreme pose proposals whose FK overflows f32 and
+        NaNs the whole step (see traj_ar.clamp_qpos)."""
+        from kinpoly_tpu.models.traj_ar import clamp_qpos
+        return clamp_qpos(self.model.spec, prev_qpos, next_qpos)
 
     def _head_pose(self, fk_res: fklib.FKResult):
         return jnp.concatenate(

@@ -126,6 +126,26 @@ def step_ar_with_vel(qpos, qvel, action, cfg: TrajARConfig, dt: float = DT):
     return next_qpos, next_qvel
 
 
+def clamp_qpos(spec, prev_qpos: jax.Array, q: jax.Array) -> jax.Array:
+    """Bound an integrated kinematic pose near physical ranges: per-step
+    root translation <= 1 m, hinges within joint range +- 0.5 rad, non-
+    finite entries fall back to the previous pose. An untrained step-GRU
+    diverges exponentially over a 100-frame open-loop rollout; the
+    reference trains in f64 (range 1e308) and merely produces a huge loss,
+    while f32 overflows to inf and NaNs the update. The clamp keeps both
+    the training loss and the env target finite without changing converged
+    behaviour (trained policies stay far inside these bounds)."""
+    pos = jnp.clip(q[..., :3],
+                   prev_qpos[..., :3] - 1.0, prev_qpos[..., :3] + 1.0)
+    quat = tmath.quat_norm(jnp.where(
+        jnp.isfinite(q[..., 3:7]), q[..., 3:7], prev_qpos[..., 3:7]))
+    lo = jnp.asarray(spec.jnt_range[:, 0] - 0.5, q.dtype)
+    hi = jnp.asarray(spec.jnt_range[:, 1] + 0.5, q.dtype)
+    hinge = jnp.clip(q[..., 7:], lo, hi)
+    out = jnp.concatenate([pos, quat, hinge], axis=-1)
+    return jnp.where(jnp.isfinite(out), out, prev_qpos)
+
+
 # ---------------------------------------------------------------------------
 # observation builder (reference get_obs, traj_ar_smpl_net.py:203-290)
 # ---------------------------------------------------------------------------
@@ -363,7 +383,8 @@ class TrajARNet(nn.Module):
             t_data, ctx_t, keys = xs
             k_noise, k_ss = keys
             gru, act = mdl.action(gru, state)
-            next_qpos, next_qvel = step_ar_with_vel(qpos, qvel, act, c)
+            next_qpos = clamp_qpos(spec, qpos, step_ar(qpos, act, c))
+            next_qvel = tmath.qvel_fd(qpos, next_qpos, DT)
             use_gt = jax.random.bernoulli(k_ss, gt_rate)
             next_qpos = jnp.where((gt_rate > 0) & use_gt, t_data.qpos, next_qpos)
             next_qvel = jnp.where((gt_rate > 0) & use_gt, t_data.qvel, next_qvel)

@@ -97,7 +97,14 @@ class AgentAR:
         self.rng, k = jax.random.split(self.rng)
         self.value_params = self.value.init(k, jnp.zeros((1, obs_dim)))
 
-        self.sup_opt = optax.adam(cfg.lr)
+        # clip the supervised gradients too: the full-AR loss backprops
+        # through a 100-step scan and explodes within a few steps otherwise
+        # (the reference's grad clip at 40, agent.py clip_policy_grad,
+        # applies to all its updates)
+        self.sup_opt = optax.chain(
+            optax.zero_nans(),      # an inf loss would NaN the clip scale
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr))
         self.sup_opt_state = self.sup_opt.init(self.params)
         self.pol_opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                                    optax.adam(cfg.policy_lr))

@@ -33,7 +33,10 @@ def main():
     p.add_argument("--test", action="store_true")
     p.add_argument("--iter", type=int, default=0)
     p.add_argument("--out", default="results")
+    p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from kinpoly_tpu.anim.mjcf import parse_humanoid
     from kinpoly_tpu.config.config import KinPolyConfig
