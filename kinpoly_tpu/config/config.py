@@ -69,6 +69,8 @@ class UHCConfig:
         self.residual_force_scale = g("residual_force_scale", 100.0)
         self.residual_force_lim = g("residual_force_lim", 100.0)
         self.residual_force_mode = g("residual_force_mode", "implicit")
+        self.residual_force_bodies = g("residual_force_bodies", "all")
+        self.residual_force_torque = g("residual_force_torque", True)
         self.meta_pd = g("meta_pd", False)
         self.base_rot = tuple(g("base_rot", [0.7071, 0.7071, 0.0, 0.0]))
         self.reward_weights = g("reward_weights", {})
@@ -95,6 +97,22 @@ class UHCConfig:
             noise_rate=lerp(self.adp_noise_rate_cp),
             log_std=lerp(self.adp_log_std_cp),
             policy_lr=lerp(self.adp_policy_lr_cp),
+        )
+
+    def control_params(self, spec):
+        """ControlParams with every residual-force knob threaded through
+        (reference humanoid_im.py:71-89 builds vf_dim/vf_bodies from these)."""
+        from kinpoly_tpu.config.defaults import uhc_control_params
+
+        vb = self.residual_force_bodies
+        return uhc_control_params(
+            spec,
+            rfc_scale=self.residual_force_scale if self.residual_force else 0.0,
+            meta_pd=self.meta_pd,
+            rfc_mode=self.residual_force_mode,
+            rfc_lim=self.residual_force_lim,
+            vf_bodies=vb if vb == "all" else tuple(vb),
+            residual_force_torque=self.residual_force_torque,
         )
 
     def env_config(self):

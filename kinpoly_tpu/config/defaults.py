@@ -54,7 +54,13 @@ UHC_REWARD_WEIGHTS = dict(
 BASE_ROT = np.array([0.7071, 0.7071, 0.0, 0.0])   # data_specs.base_rot
 
 
-def uhc_control_params(spec, rfc_scale: float = 100.0, meta_pd: bool = False) -> ControlParams:
+def uhc_control_params(spec, rfc_scale: float = 100.0, meta_pd: bool = False,
+                       rfc_mode: str = "implicit", rfc_lim: float = float("inf"),
+                       vf_bodies: str | tuple = "all",
+                       residual_force_torque: bool = True) -> ControlParams:
+    """Build ControlParams from the reference PD table. Explicit RFC
+    (residual_force_mode: explicit, humanoid_im.py:76-82) resolves
+    vf_bodies='all' to every body (SMPL_BONE_NAMES order = spec order)."""
     jkp, jkd, tl = [], [], []
     for name in spec.body_names[1:]:
         kp, kd, lim = _BODY_PD[name]
@@ -62,6 +68,13 @@ def uhc_control_params(spec, rfc_scale: float = 100.0, meta_pd: bool = False) ->
         jkd += [kd] * 3
         tl += [lim] * 3
     n = len(jkp)
+    if rfc_mode == "explicit":
+        if vf_bodies == "all":
+            vf_idx = tuple(range(len(spec.body_names)))
+        else:
+            vf_idx = tuple(spec.body_index(b) for b in vf_bodies)
+    else:
+        vf_idx = ()
     return ControlParams(
         jkp=np.asarray(jkp),
         jkd=np.asarray(jkd),
@@ -69,9 +82,12 @@ def uhc_control_params(spec, rfc_scale: float = 100.0, meta_pd: bool = False) ->
         a_scale=np.ones(n),
         torque_lim=np.asarray(tl),
         rfc_scale=rfc_scale,
-        rfc_lim=float("inf"),
+        rfc_lim=rfc_lim,
         action_v=1,
         meta_pd=meta_pd,
+        rfc_mode=rfc_mode,
+        vf_bodies=vf_idx,
+        residual_force_torque=residual_force_torque,
     )
 
 

@@ -133,6 +133,12 @@ class HumanoidAREnv:
         self.jpos_diffw = jnp.asarray(body_diff_weights(spec))
         self.b_diffw = jnp.asarray(b_diff_weights_pose(spec))
         self.policy_v = policy_v
+        # action index -> scene-object index, derived from the parsed spec's
+        # object names (shared constant with pose_metrics; asserts the scene
+        # actually contains chair/box/Can/step when objects are present)
+        from kinpoly_tpu.metrics.pose_metrics import action_object_indices
+        self.obj_of_action = (jnp.asarray(action_object_indices(spec))
+                              if spec.objects else jnp.zeros(4, jnp.int32))
         # policy_v=1: 80-d kinematic update; policy_v=2: 76-d qpos directly
         # (humanoid_ar_v1.py:251-254)
         self.action_dim = 76 if policy_v == 2 else kin_cfg.action_dim
@@ -165,7 +171,7 @@ class HumanoidAREnv:
         env.get_obj_qpos(), i.e. the sim), context data otherwise."""
         if self.model.movable_objects and state.sim.obj_qpos is not None:
             a_oh = self._at(ctx, state, "action_one_hot", 0)
-            o_idx = jnp.asarray([0, 1, 3, 4])[jnp.argmax(a_oh, axis=-1)]
+            o_idx = self.obj_of_action[jnp.argmax(a_oh, axis=-1)]
             return jnp.take_along_axis(
                 state.sim.obj_qpos, o_idx[..., None, None], axis=-2)[..., 0, :]
         return self._at(ctx, state, "obj_pose", state.cur_t)
@@ -435,10 +441,9 @@ class HumanoidAREnv:
         out = jnp.broadcast_to(
             jnp.asarray(default, obj_pose.dtype),
             action_one_hot.shape[:-1] + (n_obj, 7))
-        # action index -> object body index (sit->chair0, push->box1,
-        # avoid->Can3, step->step4; humanoid_ar_v1.py action_index_map maps
-        # into the flat obj qpos [0, 7, 21, 28] = objects [0, 1, 3, 4])
-        obj_of_action = jnp.asarray([0, 1, 3, 4])
+        # action index -> object body index (humanoid_ar_v1.py
+        # action_index_map maps into the flat obj qpos [0, 7, 21, 28])
+        obj_of_action = self.obj_of_action
         has_action = jnp.sum(action_one_hot, axis=-1) > 0
         a_idx = jnp.argmax(action_one_hot, axis=-1)
         o_idx = obj_of_action[a_idx]

@@ -199,7 +199,9 @@ class HumanoidImEnv:
         from kinpoly_tpu.config.defaults import b_diff_weights_pose, body_diff_weights
         self.jpos_diffw = jnp.asarray(body_diff_weights(spec))
         self.b_diffw = jnp.asarray(b_diff_weights_pose(spec))
-        self.vf_dim = 6
+        # from the control params, so explicit-RFC layouts (per-body wrench
+        # blocks) size the action correctly (reference humanoid_im.py:71-89)
+        self.vf_dim = model.ctrl.vf_dim
         self.action_dim = 69 + self.vf_dim + (2 * model.n_substeps if model.ctrl.meta_pd else 0)
 
     # -- expert access -----------------------------------------------------
@@ -271,7 +273,12 @@ class HumanoidImEnv:
             kw.update(
                 qpos=next_sim.qpos,
                 rq_rmh=tmath.de_heading(next_sim.qpos[..., 3:7]),
-                rlinv_local=cur_qvel[..., :3],
+                # obs_coord-transform like the expert feature (data/expert.py)
+                # and the reference reward side (reward_function.py:188 calls
+                # get_qvel_fd_new(prev, cur, dt, cfg.obs_coord), which rotates
+                # v by the transition's source-frame root quat)
+                rlinv_local=tmath.transform_vec(
+                    cur_qvel[..., :3], state.sim.qpos[..., 3:7], cfg.obs_coord),
                 rangv=cur_qvel[..., 3:6],
                 ee_pos=exlib.ee_in_root(spec, fk_res, next_sim.qpos,
                                         self.ee_idx, cfg.obs_coord),

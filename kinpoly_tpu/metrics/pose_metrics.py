@@ -191,7 +191,25 @@ ACTIONS = ("sit", "push", "avoid", "step")
 _SIT_BODIES = (0, 1, 5, 9, 10)
 _AVOID_BODIES = tuple(range(12))
 _STEP_BODIES = (3, 4, 7, 8)
-_ACTION_OBJ = {"sit": 0, "push": 1, "avoid": 3, "step": 4}
+# canonical action -> scene-object-name map (humanoid_ar_v1.py:37-39 pairs
+# sit/push/avoid/step with chair/box/Can/step); resolve to indices from the
+# parsed spec so a reordered scene cannot silently read the wrong object.
+ACTION_OBJECT_NAMES = {"sit": "chair", "push": "box", "avoid": "Can", "step": "step"}
+
+
+def action_object_indices(spec) -> "np.ndarray":
+    """(4,) scene-object index per action in ACTIONS order, derived from the
+    spec's object names (asserts all four interactables are present)."""
+    names = [o.name for o in spec.objects]
+    missing = [n for n in ACTION_OBJECT_NAMES.values() if n not in names]
+    assert not missing, f"scene lacks interactable objects {missing}: {names}"
+    return np.asarray([names.index(ACTION_OBJECT_NAMES[a]) for a in ACTIONS],
+                      np.int32)
+
+
+def _action_obj(spec) -> dict:
+    idx = action_object_indices(spec)
+    return dict(zip(ACTIONS, (int(i) for i in idx)))
 
 
 def _contact_frames(spec, scene, qpos_seq, obj_seq, bodies, obj_idx,
@@ -227,6 +245,7 @@ def action_success(spec, scene, qpos_pred: jax.Array, obj_seq: jax.Array,
         verts, vert_body = ct.select_contact_vertices(spec, default_k=4)
     if obj_seq.ndim == 2:
         obj_seq = jnp.broadcast_to(obj_seq, (qpos_pred.shape[0],) + obj_seq.shape)
+    _ACTION_OBJ = _action_obj(spec)
 
     if action == "push":
         box = obj_seq[:, _ACTION_OBJ["push"], :3]

@@ -28,9 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
-    if len(devs) < n:
-        # requested a wider mesh than the default backend offers: fall back
-        # to the virtual CPU host devices (xla_force_host_platform_device_count)
+    if len(devs) < n and jax.default_backend() == "cpu":
+        # dryrun case only: the default backend already is CPU, so widen onto
+        # the virtual host devices (xla_force_host_platform_device_count).
+        # On an accelerator backend a too-wide mesh must fail loudly instead
+        # of silently moving the whole job to CPU.
         devs = jax.devices("cpu")
     if len(devs) < n:
         raise ValueError(

@@ -424,6 +424,31 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         qacc = qacc + jnp.einsum("...vc,...c->...v", MiJt, f)
 
     obj_qpos_new, obj_qvel_new = state.obj_qpos, state.obj_qvel
+    if movable and not with_contacts:
+        # contacts off: objects still fall/rotate as free bodies (gravity +
+        # gyroscopic), so the two modes agree until something touches
+        od = model.obj_dyn
+        oq = obj_qpos[..., 3:7]
+        Rm = tmath.quat_to_mat(oq)
+        com_w = obj_qpos[..., :3] + tmath.quat_rot_vec(
+            oq, jnp.asarray(od.com, dtype))
+        Iw = Rm @ jnp.asarray(od.inertia, dtype) @ jnp.swapaxes(Rm, -1, -2)
+        Iw_inv = ct._inv3x3(Iw)
+        u = state.obj_qvel
+        gvec = jnp.zeros(u.shape[:-1] + (3,), dtype).at[..., 2].set(-9.81)
+        gyro = -jnp.einsum(
+            "...nij,...nj->...ni", Iw_inv,
+            jnp.cross(u[..., 3:], jnp.einsum("...nij,...nj->...ni", Iw, u[..., 3:])))
+        u_new = u + jnp.concatenate([gvec, gyro], axis=-1) * model.dt
+        if model.qvel_clip:
+            u_new = jnp.clip(u_new, -model.qvel_clip, model.qvel_clip)
+        v_origin = u_new[..., :3] + jnp.cross(
+            u_new[..., 3:], obj_qpos[..., :3] - com_w)
+        pos_new = obj_qpos[..., :3] + v_origin * model.dt
+        quat_new = tmath.quat_norm(tmath.quat_mul(
+            tmath.quat_from_expmap(u_new[..., 3:] * model.dt), oq))
+        obj_qpos_new = jnp.concatenate([pos_new, quat_new], axis=-1)
+        obj_qvel_new = u_new
     if movable and with_contacts:
         # object wrench about its CoM and free-body integration
         w = jnp.einsum("...rn,...r,...ri->...ni", onehot, f, Jo)

@@ -43,7 +43,12 @@ def _factor_kernel(topo, R_ref, out_ref):
     for d in range(topo.dmax, 0, -1):
         for k in topo.levels[d]:
             k = int(k)
-            Dk = out_ref[k, d, :]                       # (T,)
+            # pivot floor reg*max(|M_kk|,1) — same modified-LTDL
+            # regularization as ltdl.factor (f32 cancellation guard); also
+            # keeps zero pad lanes finite (0 -> reg, no inf*0 NaNs)
+            dmin = ltdl.DIAG_REG * jnp.maximum(jnp.abs(R_ref[k, d, :]), 1.0)
+            Dk = jnp.maximum(out_ref[k, d, :], dmin)    # (T,)
+            out_ref[k, d, :] = Dk
             inv = 1.0 / Dk
             out_ref[k, 0:d, :] = out_ref[k, 0:d, :] * inv[None, :]
             for t in range(d):
@@ -51,6 +56,11 @@ def _factor_kernel(topo, R_ref, out_ref):
                 coef = (out_ref[k, t, :] * Dk)[None, :]  # D_k L_t
                 out_ref[a, 0:t + 1, :] = (
                     out_ref[a, 0:t + 1, :] - coef * out_ref[k, 0:t + 1, :])
+    # floor the never-divided (depth-0) pivots for the solve's D^-1 pass
+    for k in topo.levels[0]:
+        k = int(k)
+        dmin = ltdl.DIAG_REG * jnp.maximum(jnp.abs(R_ref[k, 0, :]), 1.0)
+        out_ref[k, 0, :] = jnp.maximum(out_ref[k, 0, :], dmin)
 
 
 def _solve_kernel(topo, Rf_ref, B_ref, X_ref):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pickle
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -252,23 +253,32 @@ class UHCAgent:
 
     # ------------------------------------------------------------------
 
-    def eval_coverage(self, n_envs: int | None = None, max_steps: int = 512):
+    def eval_coverage(self, n_envs: int | None = None, max_steps: int = 512,
+                      stochastic_seeds: int = 0):
         """Fraction of clips tracked to completion with deterministic actions
-        (reference eval_uhc test_coverage, eval_uhc.py:202-234)."""
+        (reference eval_uhc test_coverage, eval_uhc.py:202-234).
+
+        With ``stochastic_seeds=N`` the info dict additionally carries a
+        ``coverage_mean``/``coverage_std`` band over N exploration-noise
+        seeds, so the headline number has an uncertainty estimate instead of
+        being a single stochastic draw (round-2 evals swung 0.79<->0.96)."""
         env = self.env
         n = self.n_clips
         keys = jax.random.split(jax.random.PRNGKey(7), n)
         clips = jnp.arange(n)
 
-        @jax.jit
-        def run(ts, norm):
+        @partial(jax.jit, static_argnames=("sample",))
+        def run(ts, norm, act_rng, sample=False):
             state, obs = jax.vmap(
                 lambda k, i: env.reset(k, i, deterministic=True))(keys, clips)
 
-            def step(carry, _):
+            def step(carry, rng_t):
                 state, obs, running = carry
                 obs_n = rn.apply(norm, obs)
-                mean, _ = self.policy.apply(ts.policy_params, obs_n)
+                mean, log_std = self.policy.apply(ts.policy_params, obs_n)
+                if sample:
+                    mean = mean + jnp.exp(log_std) * jax.random.normal(
+                        rng_t, mean.shape, mean.dtype)
                 state2, obs2, reward, done, info = jax.vmap(env.step)(state, mean)
                 # freeze envs that finished
                 state3 = jax.tree.map(
@@ -282,9 +292,20 @@ class UHCAgent:
                 return (state3, obs3, still), (succ_now, pct_now)
 
             (_, _, _), (succs, pcts) = jax.lax.scan(
-                step, (state, obs, jnp.ones(n, bool)), None, length=max_steps)
+                step, (state, obs, jnp.ones(n, bool)),
+                jax.random.split(act_rng, max_steps))
             return succs.any(axis=0), pcts.max(axis=0)
 
-        succ, pct = run(self.train_state, self.norm)
+        succ, pct = run(self.train_state, self.norm, jax.random.PRNGKey(0))
         succ = np.asarray(succ)
-        return float(succ.mean()), dict(succ=succ, percent=np.asarray(pct))
+        info = dict(succ=succ, percent=np.asarray(pct))
+        if stochastic_seeds > 0:
+            covs = []
+            for s in range(stochastic_seeds):
+                s_succ, _ = run(self.train_state, self.norm,
+                                jax.random.PRNGKey(1000 + s), sample=True)
+                covs.append(float(np.asarray(s_succ).mean()))
+            info["coverage_mean"] = float(np.mean(covs))
+            info["coverage_std"] = float(np.std(covs))
+            info["coverage_seeds"] = covs
+        return float(succ.mean()), info

@@ -31,6 +31,8 @@ def main():
                    help="also print the eval_pose_all metric row per clip "
                         "(mpjpe/root/head/accel/vel/slide/pen of the tracked "
                         "vs GT trajectories)")
+    p.add_argument("--seeds", type=int, default=0,
+                   help="N stochastic seeds for a coverage uncertainty band")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the tunneled TPU plugin is "
                         "pre-registered by sitecustomize; env vars are too late)")
@@ -73,11 +75,15 @@ def main():
 
     agent = UHCAgent(env, cfg.train_config())
     agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
-    cov, detail = agent.eval_coverage(max_steps=t_max + 2)
+    cov, detail = agent.eval_coverage(max_steps=t_max + 2,
+                                      stochastic_seeds=args.seeds)
     for name, ok, pct in zip(takes.keys(), detail["succ"], detail["percent"]):
         logger.info(f"{name}: {'OK' if ok else 'FAIL'}  tracked {pct:.1%}")
-    logger.info(f"coverage: {cov:.4f} over {len(detail['succ'])} clips  "
+    logger.info(f"coverage_det: {cov:.4f} over {len(detail['succ'])} clips  "
                 f"mean tracked {float(detail['percent'].mean()):.1%}")
+    if args.seeds:
+        logger.info(f"coverage_mean: {detail['coverage_mean']:.4f} "
+                    f"+- {detail['coverage_std']:.4f} over {args.seeds} seeds")
 
     if args.metrics:
         # deterministic mean-action tracking per clip, no auto-reset; then

@@ -70,8 +70,7 @@ def main():
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
         on_tpu = jax.default_backend() != "cpu"
         model = eng.build_model(
-            spec, uhc_control_params(spec, rfc_scale=cfg.residual_force_scale,
-                                     meta_pd=cfg.meta_pd),
+            spec, cfg.control_params(spec),
             solver="pallas_ltdl" if on_tpu else "ltdl",
             use_pallas_pgs=on_tpu)
 

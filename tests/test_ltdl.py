@@ -101,3 +101,38 @@ def test_vmap_and_jit(setup):
 
     one = jax.vmap(lambda R1, b1: f(R1[None], b1[None])[0])(ltdl.pack(topo, M), b)
     assert float(jnp.abs(one - dyn.chol_solve(M, b)).max()) < 1e-9
+
+
+def test_f32_extreme_poses_regularized(setup):
+    """Round-2 STATUS: ~13/2048 random +-0.3 rad poses made the f32
+    elimination cancel to an indefinite packed factor (D <= 0 -> NaN solve).
+    The DIAG_REG pivot floor must keep every factor/solve finite and the
+    solve accurate vs the f64 dense oracle, with no downstream NaN guard."""
+    spec, tables, topo, _, _, _ = setup
+    rng = np.random.RandomState(7)
+    standing = joblib.load(STANDING)
+    N = 2048
+    qpos = np.asarray(standing["qpos"], np.float64)[None].repeat(N, 0)
+    qpos[:, 7:] += rng.uniform(-0.3, 0.3, (N, 69))
+    qpos[:, 3:7] += rng.uniform(-0.3, 0.3, (N, 4))
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=-1, keepdims=True)
+
+    ks64 = dyn.kin_state(spec, tables, jnp.asarray(qpos))
+    M64 = dyn.mass_matrix(spec, tables, ks64)
+    ks32 = dyn.kin_state(spec, tables, jnp.asarray(qpos, jnp.float32))
+    R32 = ltdl.crba_packed(spec, tables, topo, ks32)
+    assert R32.dtype == jnp.float32
+
+    Rf = ltdl.factor(topo, R32)
+    assert bool(jnp.isfinite(Rf).all()), "factor produced non-finite slots"
+    d = ltdl.diag_of(topo, Rf)
+    assert float(d.min()) > 0.0, "regularized pivots must stay positive"
+
+    b = jnp.asarray(rng.randn(N, 75), jnp.float32)
+    x = ltdl.solve(topo, Rf, b)
+    assert bool(jnp.isfinite(x).all()), "solve produced non-finite entries"
+    x64 = dyn.chol_solve(M64, b.astype(jnp.float64))
+    rel = jnp.linalg.norm(x - x64, axis=-1) / (jnp.linalg.norm(x64, axis=-1) + 1e-3)
+    # every pose solves to f32-reasonable accuracy (no blow-ups at all)
+    assert float(jnp.max(rel)) < 5e-2, float(jnp.max(rel))
+    assert float(jnp.median(rel)) < 1e-3
