@@ -266,7 +266,7 @@ class HumanoidImEnv:
             b_diffw=self.b_diffw,
             jpos_diffw=self.jpos_diffw,
         )
-        if rid.startswith("local_"):
+        if rid.startswith("local_") or rid in rwlib.NEEDS_LOCAL_IDS:
             # fd velocities of the *simulated* transition (reference computes
             # them from prev_qpos -> cur_qpos, reward_function.py:188-193)
             cur_qvel = tmath.qvel_fd(state.sim.qpos, next_sim.qpos, dt)
@@ -279,6 +279,8 @@ class HumanoidImEnv:
                 # v by the transition's source-frame root quat)
                 rlinv_local=tmath.transform_vec(
                     cur_qvel[..., :3], state.sim.qpos[..., 3:7], cfg.obs_coord),
+                rlinv=cur_qvel[..., :3],
+                e_rlinv=e.rlinv,
                 rangv=cur_qvel[..., 3:6],
                 ee_pos=exlib.ee_in_root(spec, fk_res, next_sim.qpos,
                                         self.ee_idx, cfg.obs_coord),

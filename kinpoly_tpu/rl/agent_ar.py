@@ -71,6 +71,8 @@ class ARTrainConfig:
     # fine-tune the UHC controller jointly with the kinematic policy
     # (kin_poly/core/agent_ar.py:749 update_controller:774-792)
     joint_controller: bool = False
+    # set inside shard_map for data-parallel training (tests/test_multichip.py)
+    axis_name: str | None = None
     cc_lr: float = 1e-5
 
 
@@ -210,6 +212,12 @@ class AgentAR:
                             val_opt_state, sup_opt_state, carry, ctx, rng,
                             cc_params=None, cc_opt_state=None):
         cfg = self.cfg
+
+        # data-parallel: when run inside shard_map over cfg.axis_name, each
+        # shard rolls out its own env slice and the gradients are pmean'd so
+        # replicated params/optimizer state stay bitwise identical
+        def _pg(g):
+            return jax.lax.pmean(g, cfg.axis_name) if cfg.axis_name else g
         carry, traj = self._rollout(carry, params, ctx, mean_action=True,
                                     cc_params=cc_params)
         T, N = traj.rewards.shape
@@ -232,6 +240,7 @@ class AgentAR:
                 return jnp.mean((self.value.apply(vp, flat(traj.obs)) - flat(ret)) ** 2)
 
             vl, vg = jax.value_and_grad(v_loss)(value_params)
+            vg = _pg(vg)
             vu, val_state = self.val_opt.update(vg, val_state)
             value_params = optax.apply_updates(value_params, vu)
 
@@ -248,6 +257,7 @@ class AgentAR:
                 return surr
 
             pl, pg = jax.value_and_grad(p_loss)(params)
+            pg = _pg(pg)
             pu, pol_state = self.pol_opt.update(pg, pol_state, params)
             params = optax.apply_updates(params, pu)
             return (params, pol_state, value_params, val_state), (pl, vl)
@@ -273,6 +283,7 @@ class AgentAR:
                     return loss
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
+                g = _pg(g)
                 updates, opt_state = self.sup_opt.update(g, opt_state)
                 return (optax.apply_updates(params, updates), opt_state), loss
 
@@ -315,6 +326,7 @@ class AgentAR:
                                  1 + cfg.clip_epsilon) * a))
 
                 l, g = jax.value_and_grad(cc_loss)(cp)
+                g = _pg(g)
                 u, cs = self.cc_opt.update(g, cs, cp)
                 return (optax.apply_updates(cp, u), cs), l
 

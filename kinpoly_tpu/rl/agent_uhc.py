@@ -247,8 +247,14 @@ class UHCAgent:
         self.train_state = self.train_state._replace(
             policy_params=blob["policy_params"], value_params=blob["value_params"])
         self.norm = rn.RunningNorm(*blob["norm"])
-        self.success_ewma = blob["success_ewma"]
-        self.seen = blob["seen"]
+        if len(blob["success_ewma"]) == self.n_clips:
+            self.success_ewma = blob["success_ewma"]
+            self.seen = blob["seen"]
+        else:
+            # warm start onto a different clip bank: keep the policy/norm,
+            # restart the per-clip hard-mining history
+            self.success_ewma = np.full(self.n_clips, 0.0)
+            self.seen = np.zeros(self.n_clips, bool)
         self.epoch = blob["epoch"]
 
     # ------------------------------------------------------------------

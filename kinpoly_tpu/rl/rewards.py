@@ -46,11 +46,13 @@ class RewardInputs(NamedTuple):
     # local-frame features (local_rfc_* rewards, reward_function.py:172-299)
     qpos: jax.Array = None             # (..., 76) current
     rq_rmh: jax.Array = None           # (..., 4) de-headed root quat
+    rlinv: jax.Array = None            # (..., 3) fd root lin vel, world frame
     rlinv_local: jax.Array = None      # (..., 3) fd root lin vel, root frame
     rangv: jax.Array = None            # (..., 3) fd root ang vel
     ee_pos: jax.Array = None           # (..., 15) end-effectors in root frame
     e_qpos: jax.Array = None
     e_rq_rmh: jax.Array = None
+    e_rlinv: jax.Array = None
     e_rlinv_local: jax.Array = None
     e_rangv: jax.Array = None
     e_ee_pos: jax.Array = None
@@ -357,6 +359,248 @@ def dynamic_supervision_v6(inp: ARRewardInputs, ws: dict, dt: float):
     return reward, jnp.stack([hp_r, hq_r, p_r, jp_r, act_v_r], axis=-1)
 
 
+
+
+# ---------------------------------------------------------------------------
+# legacy kin-poly imitation rewards (kin_poly/core/reward_function.py:5-739).
+# Retired experiments in the reference, ported for registry completeness;
+# they consume the same RewardInputs the UHC env builds. The local_world_*
+# family's cyclic-expert re-heading (expert['rel_heading']/'start_pos'/
+# 'sim_pos', :428-432) is the identity here: this rebuild aligns experts to
+# the sim at reset, so rel_heading == unit and sim_pos == start_pos.
+# ---------------------------------------------------------------------------
+
+
+def _exp(k, d):
+    return jnp.exp(-k * d ** 2)
+
+
+def _root_composite(inp, ws):
+    """w_rq*|rq_rmh diff| + w_rlinv*|rlinv_local diff| + w_rangv*|rangv diff|
+    -> exp kernel (quat_space_reward_v2:51-55)."""
+    w_rq, w_rlinv = ws.get("w_rq", 2.0), ws.get("w_rlinv", 1.0)
+    w_rangv, k_r = ws.get("w_rangv", 0.1), ws.get("k_r", 1.0)
+    rq_dist = tmath.multi_quat_norm(
+        tmath.multi_quat_diff(inp.rq_rmh, inp.e_rq_rmh))[..., 0]
+    rlinv_dist = _norm(inp.rlinv_local - inp.e_rlinv_local)
+    rangv_dist = _norm(inp.rangv - inp.e_rangv)
+    return _exp(k_r, w_rq * rq_dist + w_rlinv * rlinv_dist + w_rangv * rangv_dist)
+
+
+def _pose_nonroot(inp, ws, k_p, weighted=True, norm_v2=False):
+    """exp kernel over non-root body-quat distance (cur_bquat[4:])."""
+    mqn = multi_quat_norm_v2 if norm_v2 else tmath.multi_quat_norm
+    pd = mqn(tmath.multi_quat_diff(inp.bquat[..., 4:], inp.e_bquat[..., 4:]))
+    if weighted:
+        pd = pd * inp.b_diffw
+    return _exp(k_p, jnp.linalg.norm(pd, axis=-1))
+
+
+def quat_space_reward_v2(inp: RewardInputs, ws: dict):
+    """(:5-62) pose/vel/ee in obs_coord + com-z + composite root kernel."""
+    w_p, w_v, w_e = ws.get("w_p", 0.5), ws.get("w_v", 0.05), ws.get("w_e", 0.15)
+    w_c, w_r = ws.get("w_c", 0.1), ws.get("w_r", 0.2)
+    k_p, k_v, k_e, k_c = (ws.get("k_p", 2.0), ws.get("k_v", 0.005),
+                          ws.get("k_e", 20.0), ws.get("k_c", 1000.0))
+    v_ord = ws.get("v_ord", 2)
+    pose_r = _pose_nonroot(inp, ws, k_p)
+    vel_r = _exp(k_v, _norm(inp.bangvel[..., 3:] - inp.e_bangvel[..., 3:], v_ord))
+    ee_r = _exp(k_e, _norm(inp.ee_pos - inp.e_ee_pos))
+    com_r = _exp(k_c, inp.com[..., 2] - inp.e_com[..., 2])
+    root_r = _root_composite(inp, ws)
+    total = w_p + w_v + w_e + w_c + w_r
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_c * com_r
+              + w_r * root_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, com_r, root_r], axis=-1)
+
+
+def quat_space_reward_v3(inp: RewardInputs, ws: dict):
+    """(:63-120) pose/vel/ee + fused root-pose and root-vel kernels."""
+    w_p, w_v, w_e = ws.get("w_p", 0.5), ws.get("w_v", 0.1), ws.get("w_e", 0.2)
+    w_rp, w_rv = ws.get("w_rp", 0.1), ws.get("w_rv", 0.1)
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.005), ws.get("k_e", 20.0)
+    k_rh, k_rq = ws.get("k_rh", 300.0), ws.get("k_rq", 300.0)
+    k_rl, k_ra = ws.get("k_rl", 5.0), ws.get("k_ra", 0.5)
+    v_ord = ws.get("v_ord", 2)
+    pose_r = _pose_nonroot(inp, ws, k_p)
+    vel_r = _exp(k_v, _norm(inp.bangvel[..., 3:] - inp.e_bangvel[..., 3:], v_ord))
+    ee_r = _exp(k_e, _norm(inp.ee_pos - inp.e_ee_pos))
+    rh_dist = inp.qpos[..., 2] - inp.e_qpos[..., 2]
+    rq_dist = tmath.multi_quat_norm(
+        tmath.multi_quat_diff(inp.rq_rmh, inp.e_rq_rmh))[..., 0]
+    root_pose_r = jnp.exp(-k_rh * rh_dist ** 2 - k_rq * rq_dist ** 2)
+    rl_dist = _norm(inp.rlinv_local - inp.e_rlinv_local)
+    ra_dist = _norm(inp.rangv - inp.e_rangv)
+    root_vel_r = jnp.exp(-k_rl * rl_dist ** 2 - k_ra * ra_dist ** 2)
+    total = w_p + w_v + w_e + w_rp + w_rv
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_rp * root_pose_r
+              + w_rv * root_vel_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, root_pose_r, root_vel_r],
+                             axis=-1)
+
+
+def deep_mimic_reward(inp: RewardInputs, ws: dict):
+    """(:121-165) all-joint pose + world ee + root pos. NB the reference
+    applies b_diffw AFTER taking the norm (:148-149), so the weighting has
+    no effect — replicated faithfully by not weighting."""
+    w_p, w_v, w_e, w_c = (ws.get("w_p", 0.65), ws.get("w_v", 0.1),
+                          ws.get("w_e", 0.15), ws.get("w_c", 0.1))
+    k_p, k_v, k_e, k_c = (ws.get("k_p", 2.0), ws.get("k_v", 0.1),
+                          ws.get("k_e", 10.0), ws.get("k_c", 10.0))
+    pd = tmath.multi_quat_norm(tmath.multi_quat_diff(inp.bquat, inp.e_bquat))
+    pose_r = _exp(k_p, jnp.linalg.norm(pd, axis=-1))
+    vel_r = _exp(k_v, _norm(inp.bangvel - inp.e_bangvel))
+    ee_r = _exp(k_e, _norm(inp.ee_wpos - inp.e_ee_wpos))
+    root_r = _exp(k_c, _norm(inp.qpos[..., :3] - inp.e_qpos[..., :3]))
+    total = w_p + w_v + w_e + w_c
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_c * root_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, root_r], axis=-1)
+
+
+def _deep_mimic_v2_components(inp: RewardInputs, ws: dict):
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.1), ws.get("k_e", 10.0)
+    k_rp, k_rq = ws.get("k_rp", 10.0), ws.get("k_rq", 10.0)
+    pose_r = _pose_nonroot(inp, ws, k_p, weighted=False, norm_v2=True)
+    vel_r = _exp(k_v, _norm(inp.bangvel - inp.e_bangvel))
+    ee_r = _exp(k_e, _norm(inp.ee_wpos - inp.e_ee_wpos))
+    rp_r = _exp(k_rp, _norm(inp.qpos[..., :3] - inp.e_qpos[..., :3]))
+    rq_dist = multi_quat_norm_v2(
+        tmath.multi_quat_diff(inp.bquat[..., :4], inp.e_bquat[..., :4]))[..., 0]
+    rq_r = _exp(k_rq, rq_dist)
+    return pose_r, vel_r, ee_r, rp_r, rq_r
+
+
+def deep_mimic_reward_v2(inp: RewardInputs, ws: dict):
+    """(:166-217) multi_quat_norm_v2 pose + world ee + root pos/quat."""
+    w_p, w_v, w_e = ws.get("w_p", 0.65), ws.get("w_v", 0.1), ws.get("w_e", 0.15)
+    w_rp, w_rq = ws.get("w_rp", 0.1), ws.get("w_rq", 0.1)
+    pose_r, vel_r, ee_r, rp_r, rq_r = _deep_mimic_v2_components(inp, ws)
+    total = w_p + w_v + w_e + w_rp + w_rq
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_rp * rp_r
+              + w_rq * rq_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, rp_r, rq_r], axis=-1)
+
+
+def deep_mimic_reward_v2_vf(inp: RewardInputs, ws: dict):
+    """(:218-280) deep_mimic_v2 + residual-force magnitude kernel."""
+    w_p, w_v, w_e = ws.get("w_p", 0.65), ws.get("w_v", 0.1), ws.get("w_e", 0.15)
+    w_rp, w_rq, w_vf = ws.get("w_rp", 0.1), ws.get("w_rq", 0.1), ws.get("w_vf", 0.1)
+    k_vf = ws.get("k_vf", 1.0)
+    pose_r, vel_r, ee_r, rp_r, rq_r = _deep_mimic_v2_components(inp, ws)
+    vf_r = _exp(k_vf, _norm(inp.vf))
+    total = w_p + w_v + w_e + w_rp + w_rq + w_vf
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_rp * rp_r
+              + w_rq * rq_r + w_vf * vf_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, rp_r, rq_r, vf_r], axis=-1)
+
+
+def multiplicable_reward(inp: RewardInputs, ws: dict):
+    """(:335-394) product of pose/vel/world-ee/root-pos/root-quat kernels."""
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.1), ws.get("k_e", 10.0)
+    k_rp, k_rq = ws.get("k_rp", 10.0), ws.get("k_rq", 10.0)
+    pose_r = _pose_nonroot(inp, ws, k_p, weighted=False)
+    vel_r = _exp(k_v, _norm(inp.bangvel - inp.e_bangvel))
+    ee_r = _exp(k_e, _norm(inp.ee_wpos - inp.e_ee_wpos))
+    rp_r = _exp(k_rp, _norm(inp.qpos[..., :3] - inp.e_qpos[..., :3]))
+    rq_dist = tmath.multi_quat_norm(tmath.multi_quat_diff(
+        inp.qpos[..., 3:7], inp.e_qpos[..., 3:7]))[..., 0]
+    rq_r = _exp(k_rq, rq_dist)
+    comps = jnp.stack([pose_r, vel_r, ee_r, rp_r, rq_r], axis=-1)
+    return jnp.prod(comps, axis=-1), comps
+
+
+def local_world_reward_v1(inp: RewardInputs, ws: dict):
+    """(:395-467) quat_v2 + a world-frame ee term."""
+    w_p, w_v, w_e = ws.get("w_p", 0.4), ws.get("w_v", 0.05), ws.get("w_e", 0.15)
+    w_we, w_c, w_r = ws.get("w_we", 0.1), ws.get("w_c", 0.1), ws.get("w_r", 0.2)
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.005), ws.get("k_e", 20.0)
+    k_we, k_c = ws.get("k_we", 20.0), ws.get("k_c", 1000.0)
+    v_ord = ws.get("v_ord", 2)
+    pose_r = _pose_nonroot(inp, ws, k_p)
+    vel_r = _exp(k_v, _norm(inp.bangvel[..., 3:] - inp.e_bangvel[..., 3:], v_ord))
+    ee_r = _exp(k_e, _norm(inp.ee_pos - inp.e_ee_pos))
+    wee_r = _exp(k_we, _norm(inp.ee_wpos - inp.e_ee_wpos))
+    com_r = _exp(k_c, _norm(inp.com - inp.e_com))
+    root_r = _root_composite(inp, ws)
+    total = w_p + w_v + w_e + w_we + w_c + w_r
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_we * wee_r
+              + w_c * com_r + w_r * root_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, wee_r, com_r, root_r],
+                             axis=-1)
+
+
+def _local_world_v23(inp: RewardInputs, ws: dict, com_z_only: bool):
+    w_p, w_v, w_e = ws.get("w_p", 0.4), ws.get("w_v", 0.05), ws.get("w_e", 0.15)
+    w_h, w_c, w_r = ws.get("w_h", 0.1), ws.get("w_c", 0.1), ws.get("w_r", 0.2)
+    k_p, k_v, k_e = ws.get("k_p", 2.0), ws.get("k_v", 0.005), ws.get("k_e", 20.0)
+    k_h, k_c = ws.get("k_h", 20.0), ws.get("k_c", 1000.0)
+    v_ord = ws.get("v_ord", 2)
+    pose_r = _pose_nonroot(inp, ws, k_p)
+    vel_r = _exp(k_v, _norm(inp.bangvel[..., 3:] - inp.e_bangvel[..., 3:], v_ord))
+    ee_r = _exp(k_e, _norm(inp.ee_pos - inp.e_ee_pos))
+    h_dist = tmath.wrap_to_pi(tmath.heading(inp.qpos[..., 3:7])
+                              - tmath.heading(inp.e_qpos[..., 3:7]))
+    h_r = _exp(k_h, h_dist)
+    com_d = (inp.com[..., 2] - inp.e_com[..., 2]) if com_z_only \
+        else _norm(inp.com - inp.e_com)
+    com_r = _exp(k_c, com_d)
+    root_r = _root_composite(inp, ws)
+    total = w_p + w_v + w_e + w_h + w_c + w_r
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_h * h_r
+              + w_c * com_r + w_r * root_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, h_r, com_r, root_r], axis=-1)
+
+
+def local_world_reward_v2(inp: RewardInputs, ws: dict):
+    """(:468-540) quat_v2 + heading kernel, full-vector com."""
+    return _local_world_v23(inp, ws, com_z_only=False)
+
+
+def local_world_reward_v3(inp: RewardInputs, ws: dict):
+    """(:541-613) v2 with com-z only."""
+    return _local_world_v23(inp, ws, com_z_only=True)
+
+
+def world_quat_space_reward(inp: RewardInputs, ws: dict):
+    """(:614-666) weighted pose + vel + world ee + com."""
+    w_p, w_v, w_e, w_c = (ws.get("w_p", 0.6), ws.get("w_v", 0.1),
+                          ws.get("w_e", 0.2), ws.get("w_c", 0.1))
+    k_p, k_v, k_e, k_c = (ws.get("k_p", 2.0), ws.get("k_v", 0.005),
+                          ws.get("k_e", 20.0), ws.get("k_c", 1000.0))
+    v_ord = ws.get("v_ord", 2)
+    pd = tmath.multi_quat_norm(tmath.multi_quat_diff(inp.bquat, inp.e_bquat))
+    pd = pd.at[..., 1:].multiply(inp.b_diffw)
+    pose_r = _exp(k_p, jnp.linalg.norm(pd, axis=-1))
+    vel_r = _exp(k_v, _norm(inp.bangvel - inp.e_bangvel, v_ord))
+    ee_r = _exp(k_e, _norm(inp.ee_wpos - inp.e_ee_wpos))
+    com_r = _exp(k_c, _norm(inp.com - inp.e_com))
+    total = w_p + w_v + w_e + w_c
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_c * com_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, com_r], axis=-1)
+
+
+def world_quat_space_reward_v2(inp: RewardInputs, ws: dict):
+    """(:667-739) world_quat + composite world-frame root kernel."""
+    w_p, w_v, w_e = ws.get("w_p", 0.3), ws.get("w_v", 0.1), ws.get("w_e", 0.3)
+    w_c, w_r = ws.get("w_c", 0.1), ws.get("w_r", 0.2)
+    k_r = ws.get("k_r", 1.0)
+    w_rpos, w_rq = ws.get("w_rpos", 5.0), ws.get("w_rq", 2.0)
+    w_rlinv, w_rangv = ws.get("w_rlinv", 1.0), ws.get("w_rangv", 0.1)
+    base, comps = world_quat_space_reward(inp, ws)
+    rpos_dist = _norm(inp.qpos[..., :3] - inp.e_qpos[..., :3])
+    rq_dist = tmath.multi_quat_norm(tmath.multi_quat_diff(
+        inp.qpos[..., 3:7], inp.e_qpos[..., 3:7]))[..., 0]
+    rlinv_dist = _norm(inp.rlinv - inp.e_rlinv)
+    rangv_dist = _norm(inp.rangv - inp.e_rangv)
+    root_r = _exp(k_r, w_rpos * rpos_dist + w_rq * rq_dist
+                  + w_rlinv * rlinv_dist + w_rangv * rangv_dist)
+    total = w_p + w_v + w_e + w_c + w_r
+    pose_r, vel_r, ee_r, com_r = [comps[..., i] for i in range(4)]
+    reward = (w_p * pose_r + w_v * vel_r + w_e * ee_r + w_c * com_r
+              + w_r * root_r) / total
+    return reward, jnp.stack([pose_r, vel_r, ee_r, com_r, root_r], axis=-1)
+
+
 def constant_reward(inp, ws, dt):
     one = jnp.ones(inp.head_pose.shape[:-1], inp.head_pose.dtype)
     return one, one[..., None]
@@ -369,13 +613,41 @@ def constant_reward(inp, ws, dt):
 # experiments (video-feature / fine-tune variants) and raise KeyError with
 # a pointer instead of silently training with the wrong formula.
 LEGACY_KIN_POLY_IDS = (
-    "quat_v2", "quat_v3", "deep_mimic", "deep_mimic_v2",
-    "multiplicable_reward", "local_world_v1", "local_world_v2",
-    "local_world_v3", "world_quat", "world_quat_v2",
+    # the fine_tune_* trio needs retired egomimic-env machinery the rebuild
+    # does not carry: recorded old_action deltas and fix_start_ind-offset
+    # 'head_info'/'hvel' expert attrs (reward_function.py:740-930)
     "fine_tune_action_reward", "fine_tune_reward",
-    "fine_tune_kin_action_reward", "deep_mimic_reward_v2_vf",
-    "deep_mimic_reward_v2_vf_vq",
+    "fine_tune_kin_action_reward",
 )
+
+# legacy imitation rewards: humanoid_im-style formulas living in the
+# kin-poly registry (the reference's copycat fine-tune experiments); they
+# run on the UHC env's RewardInputs and are exposed through BOTH registries
+LEGACY_IMITATION_REWARDS: dict[str, Callable] = {
+    "quat_v2": quat_space_reward_v2,
+    "quat_v3": quat_space_reward_v3,
+    "deep_mimic": deep_mimic_reward,
+    "deep_mimic_v2": deep_mimic_reward_v2,
+    "deep_mimic_reward_v2_vf": deep_mimic_reward_v2_vf,
+    # _vf_vq's body computes the identical 5 terms as deep_mimic_v2
+    # (reference :281-335: no vf/vq term survives in the final formula)
+    "deep_mimic_reward_v2_vf_vq": deep_mimic_reward_v2,
+    "multiplicable_reward": multiplicable_reward,
+    "local_world_v1": local_world_reward_v1,
+    "local_world_v2": local_world_reward_v2,
+    "local_world_v3": local_world_reward_v3,
+    "world_quat": world_quat_space_reward,
+    "world_quat_v2": world_quat_space_reward_v2,
+}
+
+# ids whose formulas read the local-frame features (rq_rmh/rlinv/rangv/
+# ee_pos): humanoid_im builds those inputs for these ids
+NEEDS_LOCAL_IDS = frozenset((
+    "quat_v2", "quat_v3", "deep_mimic", "deep_mimic_v2",
+    "deep_mimic_reward_v2_vf", "deep_mimic_reward_v2_vf_vq",
+    "multiplicable_reward", "local_world_v1", "local_world_v2",
+    "local_world_v3", "world_quat_v2",
+))
 
 KIN_POLY_REWARDS: dict[str, Callable] = {
     # dynamic_supervision_v1 is implemented inside HumanoidAREnv (it needs
@@ -388,14 +660,23 @@ KIN_POLY_REWARDS: dict[str, Callable] = {
     "constant": constant_reward,
 }
 
+UHC_EXTRA_IMITATION = LEGACY_IMITATION_REWARDS  # alias for the UHC registry
+
 
 def get_kin_poly_reward(reward_id: str) -> Callable:
     if reward_id in LEGACY_KIN_POLY_IDS:
         raise KeyError(
-            f"kin-poly reward_id {reward_id!r} is a retired legacy "
-            f"experiment (reference kin_poly/core/reward_function.py) and is "
-            f"not ported; use one of {sorted(KIN_POLY_REWARDS)} or "
+            f"kin-poly reward_id {reward_id!r} needs the retired egomimic "
+            f"env's old_action/head_info machinery (reference "
+            f"kin_poly/core/reward_function.py:740-930) and is not ported; "
+            f"use one of {sorted(KIN_POLY_REWARDS)} or "
             f"'dynamic_supervision_v1'")
+    if reward_id in LEGACY_IMITATION_REWARDS:
+        # imitation-style legacy ids run on the UHC env's inputs
+        # (humanoid_im dispatch), not the AR env's
+        raise KeyError(
+            f"kin-poly reward_id {reward_id!r} is an imitation reward; "
+            f"set it as the UHC env's reward_id instead")
     if reward_id not in KIN_POLY_REWARDS:
         raise KeyError(f"unknown kin-poly reward_id {reward_id!r}; "
                        f"available: {sorted(KIN_POLY_REWARDS)}")
@@ -403,7 +684,9 @@ def get_kin_poly_reward(reward_id: str) -> Callable:
 
 
 def get_uhc_reward(reward_id: str) -> Callable:
+    if reward_id in LEGACY_IMITATION_REWARDS:
+        return LEGACY_IMITATION_REWARDS[reward_id]
     if reward_id not in UHC_REWARDS:
         raise KeyError(f"unknown UHC reward_id {reward_id!r}; "
-                       f"available: {sorted(UHC_REWARDS)}")
+                       f"available: {sorted(UHC_REWARDS) + sorted(LEGACY_IMITATION_REWARDS)}")
     return UHC_REWARDS[reward_id]

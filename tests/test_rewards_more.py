@@ -167,3 +167,92 @@ def test_local_vs_world_distinct():
     l = rewards.UHC_REWARDS["local_rfc_implicit"]
     assert float(w(inp, {})[0]) == float(w(inp2, {})[0])
     assert float(l(inp, {})[0]) != float(l(inp2, {})[0])
+
+
+def _im_inputs(rng, spec, perfect=True):
+    """UHC-env-style RewardInputs with every field the legacy imitation
+    rewards read (kin_poly/core/reward_function.py:5-739)."""
+    from kinpoly_tpu.config.defaults import b_diff_weights_pose
+    from kinpoly_tpu.core import tmath
+
+    bq = _unit_quats(rng, 24)
+    wbq = _unit_quats(rng, 24)
+    wb, bcom = rng.randn(72), rng.randn(72)
+    com, ee_w, ee_l = rng.randn(3), rng.randn(15), rng.randn(15)
+    bang = rng.randn(72) * 0.1
+    qpos = np.concatenate([rng.randn(3), _unit_quats(rng, 1), rng.randn(69) * 0.2])
+    rlinv, rangv = rng.randn(3), rng.randn(3)
+    if perfect:
+        e = dict(bq=bq, wbq=wbq, wb=wb, bcom=bcom, com=com, ee_w=ee_w,
+                 ee_l=ee_l, bang=bang, qpos=qpos, rlinv=rlinv, rangv=rangv)
+    else:
+        e = dict(bq=_unit_quats(rng, 24), wbq=_unit_quats(rng, 24),
+                 wb=wb + 0.4, bcom=bcom + 0.4, com=com + 0.3, ee_w=ee_w + 0.4,
+                 ee_l=ee_l + 0.4, bang=bang + 0.5,
+                 qpos=np.concatenate([qpos[:3] + 0.5, _unit_quats(rng, 1),
+                                      qpos[7:] + 0.3]),
+                 rlinv=rlinv + 0.6, rangv=rangv + 0.6)
+    j = jnp.asarray
+    rq_rmh = tmath.de_heading(j(qpos[3:7]))
+    e_rq_rmh = tmath.de_heading(j(e["qpos"][3:7]))
+    return rewards.RewardInputs(
+        bquat=j(bq), wbquat=j(wbq), wbpos=j(wb), body_com=j(bcom), com=j(com),
+        ee_wpos=j(ee_w), bangvel=j(bang), head_pose=None,
+        e_bquat=j(e["bq"]), e_wbquat=j(e["wbq"]), e_wbpos=j(e["wb"]),
+        e_body_com=j(e["bcom"]), e_com=j(e["com"]), e_ee_wpos=j(e["ee_w"]),
+        e_bangvel=j(e["bang"]),
+        vf=j(rng.randn(6) * 0.01),
+        qpos=j(qpos), rq_rmh=rq_rmh, rlinv=j(rlinv),
+        rlinv_local=j(rlinv), rangv=j(rangv), ee_pos=j(ee_l),
+        e_qpos=j(e["qpos"]), e_rq_rmh=e_rq_rmh, e_rlinv=j(e["rlinv"]),
+        e_rlinv_local=j(e["rlinv"]), e_rangv=j(e["rangv"]), e_ee_pos=j(e["ee_l"]),
+        b_diffw=jnp.asarray(b_diff_weights_pose(spec)),
+    )
+
+
+def test_legacy_imitation_rewards_identity_and_ordering():
+    """Every ported legacy id: perfect tracking scores ~1 per component
+    (except the residual-force kernel, which sees a small nonzero vf) and
+    beats imperfect tracking."""
+    spec = get_spec()
+    for rid, fn in rewards.LEGACY_IMITATION_REWARDS.items():
+        r_perf, comps = fn(_im_inputs(np.random.RandomState(3), spec, True), {})
+        r_off, _ = fn(_im_inputs(np.random.RandomState(3), spec, False), {})
+        assert float(r_perf) > float(r_off), rid
+        c = np.asarray(comps)
+        if rid == "deep_mimic_reward_v2_vf":
+            c = c[..., :-1]   # vf kernel is < 1 by construction
+        np.testing.assert_allclose(c, 1.0, atol=1e-3, err_msg=rid)
+
+
+def test_legacy_ids_dispatch():
+    """Registry semantics: imitation ids resolve via the UHC registry, the
+    AR registry redirects them, and the fine_tune trio stays a documented
+    KeyError."""
+    import pytest
+
+    for rid in rewards.LEGACY_IMITATION_REWARDS:
+        assert callable(rewards.get_uhc_reward(rid))
+        with pytest.raises(KeyError, match="imitation"):
+            rewards.get_kin_poly_reward(rid)
+    for rid in rewards.LEGACY_KIN_POLY_IDS:
+        with pytest.raises(KeyError, match="egomimic"):
+            rewards.get_kin_poly_reward(rid)
+
+
+def test_legacy_reward_through_env_dispatch():
+    """A full env.step with reward_id='quat_v2' (NEEDS_LOCAL id that is not
+    'local_'-prefixed) builds the local features and returns finite reward."""
+    import jax
+
+    from tests.test_env_uhc import make_env
+
+    env = make_env()
+    import dataclasses
+    env2 = type(env).__new__(type(env))
+    env2.__dict__.update(env.__dict__)
+    env2.cfg = dataclasses.replace(env.cfg, reward_id="quat_v2")
+    st, obs = env2.reset(jax.random.PRNGKey(0), jnp.asarray(0))
+    a = jnp.zeros(env2.action_dim)
+    st2, obs2, r, d, info = jax.jit(env2.step)(st, a)
+    assert np.isfinite(float(r)) and 0.0 <= float(r) <= 1.1
