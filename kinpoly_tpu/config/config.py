@@ -258,6 +258,8 @@ class KinPolyConfig:
             step_update_dyna=ps.get("step_update_dyna", False),
             init_update=ps.get("init_update", False),
             full_update=ps.get("full_update", False),
+            joint_controller=ps.get("joint_controller", False),
+            cc_lr=ps.get("cc_lr", 1e-5),
         )
 
     def update(self, args):

@@ -85,10 +85,31 @@ def get_root_vel(qpos: jax.Array, dt: float = DT) -> jax.Array:
     return jnp.concatenate([out, out[..., -1:, :]], axis=-2)
 
 
+# default parking spot of the secondary object slot (the table, scene object
+# index 2: convert_obj_qpos parks object i at ((i+1)*100, 100, 0))
+_PARK2 = np.asarray([300.0, 100.0, 0.0, 1.0, 0.0, 0.0, 0.0], np.float32)
+
+
+def obj_pose14(obj_pose: np.ndarray, obj2_pose: np.ndarray | None = None):
+    """(T, 7) active-object pose [+ (T, 7) secondary] -> (T, 14).
+
+    The reference's per-action context is 7-d except push, whose action_len
+    is 14 (box + table, humanoid_ar_v1.py:37-39); the second slot defaults
+    to the table's parking spot."""
+    obj_pose = np.asarray(obj_pose, np.float32)
+    if obj_pose.shape[-1] >= 14:
+        return obj_pose[..., :14]
+    second = (np.asarray(obj2_pose, np.float32)[..., :7]
+              if obj2_pose is not None
+              else np.broadcast_to(_PARK2, obj_pose[..., :7].shape))
+    return np.concatenate([obj_pose[..., :7], second], axis=-1)
+
+
 def derive_features(spec, qpos_seq: np.ndarray, obj_pose: np.ndarray,
                     action: str = "sit", dt: float = DT,
-                    has_z: bool = True) -> dict:
-    """Raw qpos (T, 76) + object pose (T, 7) -> the full StateAR take dict."""
+                    has_z: bool = True, obj2_pose: np.ndarray | None = None) -> dict:
+    """Raw qpos (T, 76) + object pose (T, 7) [+ secondary object (push:
+    table)] -> the full StateAR take dict."""
     qpos = jnp.asarray(qpos_seq)
     T = qpos.shape[0]
     res = fklib.fk(spec, qpos)
@@ -104,6 +125,7 @@ def derive_features(spec, qpos_seq: np.ndarray, obj_pose: np.ndarray,
     target = jnp.concatenate(
         [get_traj_de_heading(qpos, has_z), get_root_vel(qpos, dt)], axis=-1)
 
+    obj14 = obj_pose14(obj_pose, obj2_pose)
     return dict(
         qpos=np.asarray(qpos),
         qvel=np.asarray(qvel),
@@ -112,9 +134,9 @@ def derive_features(spec, qpos_seq: np.ndarray, obj_pose: np.ndarray,
         bquat=np.asarray(fklib.body_quat_sim(spec, qpos)),
         head_pose=np.asarray(head_pose),
         head_vels=np.asarray(get_head_vel(head_pose, dt)),
-        obj_pose=np.asarray(obj_pose),
+        obj_pose=obj14,
         obj_head_relative_poses=np.asarray(
-            get_obj_relative_pose(jnp.asarray(obj_pose)[..., :7], head_pose)),
+            get_obj_relative_pose(jnp.asarray(obj14)[..., :7], head_pose)),
         action_one_hot=one_hot,
         target=np.asarray(target),
         action=action,
@@ -205,7 +227,7 @@ class StateARDataset:
                 qpos=win(take["qpos"]), qvel=win(take["qvel"]),
                 wbpos=win(take["wbpos"]), head_pose=win(take["head_pose"]),
                 head_vels=win(take["head_vels"]),
-                obj_pose=win(take["obj_pose"][:, :7]),
+                obj_pose=win(obj_pose14(take["obj_pose"])),
                 obj_head_relative_poses=win(take["obj_head_relative_poses"][:, :7]),
                 action_one_hot=win(take["action_one_hot"]),
                 target=win(take["target"]),
@@ -222,7 +244,7 @@ class StateARDataset:
         return ClipData(
             qpos=t["qpos"][None], qvel=t["qvel"][None], wbpos=t["wbpos"][None],
             head_pose=t["head_pose"][None], head_vels=t["head_vels"][None],
-            obj_pose=t["obj_pose"][None, :, :7],
+            obj_pose=obj_pose14(t["obj_pose"])[None],
             obj_head_relative_poses=t["obj_head_relative_poses"][None, :, :7],
             action_one_hot=t["action_one_hot"][None],
             target=t["target"][None],
@@ -255,7 +277,8 @@ def load_annotations(path: str, spec=None) -> list[dict]:
                 obj[:, :3] = [100.0, 100.0, 0.5]
                 obj[:, 3] = 1.0
             take = derive_features(spec, q, np.asarray(obj, np.float32),
-                                   action=take.get("action", "sit"))
+                                   action=take.get("action", "sit"),
+                                   obj2_pose=take.get("table_pose"))
             take["name"] = name
         takes.append(take)
     return takes

@@ -174,7 +174,7 @@ class HumanoidAREnv:
             o_idx = self.obj_of_action[jnp.argmax(a_oh, axis=-1)]
             return jnp.take_along_axis(
                 state.sim.obj_qpos, o_idx[..., None, None], axis=-2)[..., 0, :]
-        return self._at(ctx, state, "obj_pose", state.cur_t)
+        return self._at(ctx, state, "obj_pose", state.cur_t)[..., :7]
 
     def get_obs(self, state: AREnvState, ctx=None):
         t = state.cur_t
@@ -431,7 +431,9 @@ class HumanoidAREnv:
     def convert_obj_qpos(self, action_one_hot: jax.Array,
                          obj_pose: jax.Array) -> jax.Array:
         """Place the action's active object at its context pose and park the
-        others far away (humanoid_ar_v1.convert_obj_qpos:479-497).
+        others far away (humanoid_ar_v1.convert_obj_qpos:479-497). With a
+        14-d obj_pose (push: box + table, reference action_len=[7,14,7,7])
+        the secondary slot lands on the table body.
         Returns (..., n_obj, 7)."""
         n_obj = len(self.model.spec.objects)
         default = np.zeros((n_obj, 7))
@@ -447,7 +449,13 @@ class HumanoidAREnv:
         has_action = jnp.sum(action_one_hot, axis=-1) > 0
         a_idx = jnp.argmax(action_one_hot, axis=-1)
         o_idx = obj_of_action[a_idx]
-        placed = out.at[..., o_idx, :].set(obj_pose)
+        placed = out.at[..., o_idx, :].set(obj_pose[..., :7])
+        if obj_pose.shape[-1] >= 14 and n_obj > 2:
+            # secondary slot (the push table; parked-table pose otherwise,
+            # so the unconditional scatter is a no-op for other actions)
+            names = [o.name for o in self.model.spec.objects]
+            placed = placed.at[..., names.index("table"), :].set(
+                obj_pose[..., 7:14])
         return jnp.where(has_action[..., None, None], placed, out)
 
     def ar_fail_safe(self, state: AREnvState, ctx=None) -> AREnvState:

@@ -158,7 +158,8 @@ class ClipData(NamedTuple):
     wbpos: jax.Array                     # (B, T, 72)
     head_pose: jax.Array                 # (B, T, 7)
     head_vels: jax.Array                 # (B, T, 6)
-    obj_pose: jax.Array                  # (B, T, 7) first object
+    obj_pose: jax.Array                  # (B, T, 14) active object + secondary
+    #                                        (push: table; else parked slot)
     obj_head_relative_poses: jax.Array   # (B, T, 7)
     action_one_hot: jax.Array            # (B, T, 4)
     target: jax.Array                    # (B, T, action_dim)

@@ -150,7 +150,7 @@ def main():
         action = (pose_metrics.ACTIONS[int(a_oh.argmax())]
                   if a_oh.sum() > 0 else "None")
         obj_i = (obj_traj[:end, i] if obj_traj is not None
-                 else np.asarray(batch.obj_pose[i, :1]))
+                 else np.asarray(batch.obj_pose[i, :1, :7]))
         res_fk = fklib.fk(spec, jnp.asarray(pred))
         head_pred = np.asarray(res_fk.xpos[:, head_idx])
         gt_fk = fklib.fk(spec, jnp.asarray(gt))

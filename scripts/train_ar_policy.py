@@ -60,6 +60,11 @@ def main():
     p.add_argument("--full-steps", type=int, default=50)
     p.add_argument("--n-envs", type=int, default=None)
     p.add_argument("--rollout-steps", type=int, default=None)
+    p.add_argument("--joint-controller", action="store_true",
+                   help="fine-tune the UHC controller jointly (agent_ar.py:749)")
+    p.add_argument("--step-update-dyna", action="store_true",
+                   help="add BC toward the simulated result pose (update mode "
+                        "step_update_dyna, agent_ar.py:720-726)")
     p.add_argument("--out", default="results")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the tunneled TPU plugin is "
@@ -85,9 +90,16 @@ def main():
 
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
+        # the AR env always owns the object scene (the reference loads
+        # humanoid_smpl_neutral_mesh_all_step.xml, humanoid_ar_v1.py:40);
+        # non-action takes park every object far away
         spec = parse_humanoid(
-            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
-        model = eng.build_model(spec, uhc_control_params(spec))
+            "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
+        on_tpu = jax.default_backend() != "cpu"
+        model = eng.build_model(spec, uhc_control_params(spec),
+                                with_objects=True, movable_objects=True,
+                                solver="pallas_ltdl" if on_tpu else "ltdl",
+                                use_pallas_pgs=on_tpu)
 
         if args.data:
             takes = statear.load_annotations(args.data, spec=spec)
@@ -128,6 +140,10 @@ def main():
         tc = tc.__class__(**{**tc.__dict__, "n_envs": args.n_envs})
     if args.rollout_steps:
         tc = tc.__class__(**{**tc.__dict__, "rollout_steps": args.rollout_steps})
+    if args.joint_controller:
+        tc = tc.__class__(**{**tc.__dict__, "joint_controller": True})
+    if args.step_update_dyna:
+        tc = tc.__class__(**{**tc.__dict__, "step_update_dyna": True})
     agent = AgentAR(env, dataset, tc, out_dir=cfg.model_dir)
     if args.iter > 0:
         agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
