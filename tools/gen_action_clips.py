@@ -344,22 +344,28 @@ def make_step(seed, lead_left=True):
 
 
 def main():
+    # seed offset + per-action count from argv: gen_action_clips.py OUT
+    # [n_per_action] [seed_offset] (a held-out test bank uses a disjoint
+    # offset, e.g. 100)
+    n_per = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    off = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     takes = {}
-    for k in range(6):
-        q, obj, act = make_sit(seed=10 + k, depth=0.02 * (k % 3),
+    for k in range(n_per):
+        q, obj, act = make_sit(seed=10 + off + k, depth=0.02 * (k % 3),
                                hold=1.2 + 0.3 * (k % 2))
-        takes[f"sit-{k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
-    for k in range(6):
-        out = make_push(seed=20 + k, push_dist=0.30 + 0.04 * (k % 3))
+        takes[f"sit-{off + k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
+    for k in range(n_per):
+        out = make_push(seed=20 + off + k, push_dist=0.30 + 0.04 * (k % 3))
         q, obj, act = out[0], out[1], out[2]
-        takes[f"push-{k:02d}"] = dict(qpos=q, obj_pose=obj, action=act,
-                                      table_pose=out[3])
-    for k in range(6):
-        q, obj, act = make_avoid(seed=30 + k, side=1.0 if k % 2 == 0 else -1.0)
-        takes[f"avoid-{k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
-    for k in range(6):
-        q, obj, act = make_step(seed=40 + k, lead_left=(k % 2 == 0))
-        takes[f"step-{k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
+        takes[f"push-{off + k:02d}"] = dict(qpos=q, obj_pose=obj, action=act,
+                                            table_pose=out[3])
+    for k in range(n_per):
+        q, obj, act = make_avoid(seed=30 + off + k,
+                                 side=1.0 if k % 2 == 0 else -1.0)
+        takes[f"avoid-{off + k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
+    for k in range(n_per):
+        q, obj, act = make_step(seed=40 + off + k, lead_left=(k % 2 == 0))
+        takes[f"step-{off + k:02d}"] = dict(qpos=q, obj_pose=obj, action=act)
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     joblib.dump(takes, OUT)
