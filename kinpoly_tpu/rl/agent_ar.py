@@ -68,6 +68,11 @@ class ARTrainConfig:
     step_update_dyna: bool = False
     init_update: bool = False
     full_update: bool = False
+    # grad_joint: one optimizer step per PPO epoch on the COMBINED loss
+    # loss_step*10 + surr (reference update_policy_joint:794-850);
+    # grad_alternate alternates pure-PPO / pure-BC epochs instead
+    grad_joint: bool = False
+    grad_alternate: bool = False
     # fine-tune the UHC controller jointly with the kinematic policy
     # (kin_poly/core/agent_ar.py:749 update_controller:774-792)
     joint_controller: bool = False
@@ -210,7 +215,8 @@ class AgentAR:
 
     def _rl_and_step_update(self, params, value_params, pol_opt_state,
                             val_opt_state, sup_opt_state, carry, ctx, rng,
-                            cc_params=None, cc_opt_state=None):
+                            cc_params=None, cc_opt_state=None,
+                            w_ppo=1.0, w_bc=1.0):
         cfg = self.cfg
 
         # data-parallel: when run inside shard_map over cfg.axis_name, each
@@ -262,7 +268,46 @@ class AgentAR:
             params = optax.apply_updates(params, pu)
             return (params, pol_state, value_params, val_state), (pl, vl)
 
-        if cfg.rl_update:
+        def joint_epoch(ts, key):
+            """Combined PPO + per-step BC loss in ONE optimizer step
+            (reference update_policy_joint: loss = loss_step*10 + surr);
+            w_ppo/w_bc gate the two terms (grad_alternate sets one to 0)."""
+            params, pol_state, value_params, val_state = ts
+
+            def v_loss(vp):
+                return jnp.mean((self.value.apply(vp, flat(traj.obs)) - flat(ret)) ** 2)
+
+            vl, vg = jax.value_and_grad(v_loss)(value_params)
+            vg = _pg(vg)
+            vu, val_state = self.val_opt.update(vg, val_state)
+            value_params = optax.apply_updates(value_params, vu)
+
+            def p_loss(p):
+                means = self.policy.action_means_over_time(p, traj.obs, prev_masks)
+                lp = nets.gaussian_log_prob(
+                    flat(traj.actions), flat(means),
+                    jnp.full_like(flat(means), log_std))
+                ratio = jnp.exp(lp - flat(traj.log_probs))
+                a = flat(adv)
+                surr = -jnp.mean(jnp.minimum(
+                    ratio * a,
+                    jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * a))
+                bc, _ = self.policy.step_update_loss(
+                    p, traj.obs, prev_masks, traj.curr_qpos, traj.gt_qpos)
+                return w_ppo * surr + w_bc * bc * 10.0
+
+            pl, pg = jax.value_and_grad(p_loss)(params)
+            pg = _pg(pg)
+            pu, pol_state = self.pol_opt.update(pg, pol_state, params)
+            params = optax.apply_updates(params, pu)
+            return (params, pol_state, value_params, val_state), (pl, vl)
+
+        if cfg.grad_joint:
+            ts = (params, pol_opt_state, value_params, val_opt_state)
+            ts, (pls, vls) = jax.lax.scan(
+                joint_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
+            params, pol_opt_state, value_params, val_opt_state = ts
+        elif cfg.rl_update:
             ts = (params, pol_opt_state, value_params, val_opt_state)
             ts, (pls, vls) = jax.lax.scan(
                 ppo_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
@@ -291,7 +336,7 @@ class AgentAR:
 
         sup_state = sup_opt_state
         bc_losses = jnp.zeros((1,))
-        if cfg.step_update:
+        if cfg.step_update and not cfg.grad_joint:
             (params, sup_state), bc_losses = jax.lax.scan(
                 make_bc_epoch(traj.gt_qpos), (params, sup_state), None,
                 length=cfg.num_step_update)
@@ -365,7 +410,13 @@ class AgentAR:
          percents, clips, dones, self.cc_params, self.cc_opt_state) = self._jit_rl(
             self.params, self.value_params, self.pol_opt_state,
             self.val_opt_state, self.sup_opt_state, carry, ctx, k_rl,
-            self.cc_params, self.cc_opt_state)
+            self.cc_params, self.cc_opt_state,
+            # grad_alternate: odd epochs pure PPO, even epochs pure BC
+            # (reference update_policy_joint grad_alternate branch)
+            jnp.asarray(1.0 if (not cfg.grad_alternate or self.epoch % 2 == 1)
+                        else 0.0),
+            jnp.asarray(1.0 if (not cfg.grad_alternate or self.epoch % 2 == 0)
+                        else 0.0))
         metrics, percents, clips, dones = jax.device_get(
             (metrics, percents, clips, dones))
 

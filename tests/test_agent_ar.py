@@ -93,3 +93,21 @@ def test_agent_ar_optimize_epoch():
     for k, v in out.items():
         assert np.isfinite(v), (k, v)
     assert "reward_mean" in out and 0.0 <= out["reward_mean"] <= 1.0
+
+
+def test_grad_joint_epoch():
+    """grad_joint: combined loss_step*10 + surr in one optimizer step per
+    PPO epoch (reference update_policy_joint:794-850), plus the
+    grad_alternate parity gating."""
+    agent = make_setup()
+    cfg = agent.cfg.__class__(**{**agent.cfg.__dict__, "grad_joint": True,
+                                 "grad_alternate": True})
+    a2 = type(agent).__new__(type(agent))
+    a2.__dict__.update(agent.__dict__)
+    a2.cfg = cfg
+    import jax
+    a2._jit_rl = jax.jit(a2._rl_and_step_update)
+    m1 = a2.optimize_policy()
+    m2 = a2.optimize_policy()
+    for m in (m1, m2):
+        assert np.isfinite(m["reward_mean"]) and np.isfinite(m["ppo_loss"])
