@@ -87,14 +87,23 @@ class FlowFeatureEncoder:
     """Flow field -> feature vector via the flax ResNet-18 (the reference
     encodes PWC flow with a torchvision ResNet, compute_of_feat.py)."""
 
+    # params trained on synthetic egomotion flow (tools/train_of_encoder.py)
+    PRETRAINED = "/root/repo/data_bank/of_encoder.pkl"
+
     def __init__(self, feature_dim: int = 512, rng_seed: int = 0,
                  params=None):
+        import os
+        import pickle
+
         import jax
         import jax.numpy as jnp
 
         from kinpoly_tpu.models.aux_nets import ResNet18
 
         self.net = ResNet18(out_dim=feature_dim)
+        if params is None and feature_dim == 512 and os.path.exists(self.PRETRAINED):
+            with open(self.PRETRAINED, "rb") as f:
+                params = pickle.load(f)["params"]
         dummy = jnp.zeros((1, 64, 64, 2), jnp.float32)
         self.params = params or self.net.init(jax.random.PRNGKey(rng_seed), dummy)
         self._apply = jax.jit(lambda p, x: self.net.apply(p, x))
