@@ -153,8 +153,15 @@ def main():
                 init_steps=args.init_steps, full_steps=args.full_steps,
                 log_every=10):
             logger.info(f"  {tag} step {i}: loss {loss:.4f}")
+        # reference agent_ar.train_init saves checkpoint 0 after the warm
+        # start; lets a later run resume with --iter 0 and skip it
+        if cfg.model_dir:
+            path = agent.save_checkpoint(
+                os.path.join(cfg.model_dir, "iter_0000.p"))
+            logger.info(f"saved warm-start checkpoint {path}")
 
-    max_epochs = args.max_epochs or cfg.policy_specs.get("max_iter_num", 20000)
+    max_epochs = (args.max_epochs if args.max_epochs is not None
+                  else cfg.policy_specs.get("max_iter_num", 20000))
     from kinpoly_tpu.utils.metrics_log import MetricsLogger
     mlog = MetricsLogger(cfg.model_dir, run_name=f"ar_{args.cfg}",
                          use_wandb=True, config=dict(cfg=args.cfg))
