@@ -17,16 +17,14 @@ import time
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_scaling.json"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# kernel path at 3 sizes (flat-to-4096 claimed in r2; 8192 unprofiled),
+# jnp/XLA path at the cliff endpoints, AR env at production batch sizes.
+# (each config = fresh remote compiles; keep the grid tight)
 RUNS = [
-    dict(env="uhc", solver="pallas_ltdl", pgs="1", n=2048),
-    dict(env="uhc", solver="pallas_ltdl", pgs="1", n=4096),
-    dict(env="uhc", solver="pallas_ltdl", pgs="1", n=8192),
-    dict(env="uhc", solver="ltdl", pgs="0", n=2048),
-    dict(env="uhc", solver="ltdl", pgs="0", n=4096),
-    dict(env="uhc", solver="ltdl", pgs="0", n=8192),
-    dict(env="ar", solver="pallas_ltdl", pgs="1", n=256),
     dict(env="ar", solver="pallas_ltdl", pgs="1", n=1024),
     dict(env="ar", solver="pallas_ltdl", pgs="1", n=2048),
+    dict(env="uhc", solver="ltdl", pgs="0", n=2048),
+    dict(env="uhc", solver="ltdl", pgs="0", n=8192),
 ]
 
 rows = []
