@@ -606,19 +606,110 @@ def constant_reward(inp, ws, dt):
     return one, one[..., None]
 
 
+# ---------------------------------------------------------------------------
+# fine_tune family (UHC-controller fine-tuning under egocentric head
+# supervision, kin_poly/core/reward_function.py:740-930): head tracking vs
+# the expert 'head_info'/'hvel' features, plus an action-regularization
+# term toward the pre-fine-tune policy's action.
+# ---------------------------------------------------------------------------
+
+
+class FineTuneInputs(NamedTuple):
+    """Inputs to the fine_tune_* rewards (reward_function.py:740-930)."""
+    head_pose: jax.Array        # (..., 7) simulated head, world frame
+    prev_head_pose: jax.Array   # (..., 7) previous control step
+    e_head_pose: jax.Array      # (..., 7) expert 'head_info' at this frame
+    e_head_vel: jax.Array       # (..., 6) expert 'hvel' (lin + ang)
+    bquat: jax.Array            # (..., 92) non-root body quats (get_body_quat()[4:])
+    e_bquat: jax.Array = None   # (..., 92) from the kinematic pose
+    action: jax.Array = None
+    old_action: jax.Array = None  # the frozen pre-fine-tune policy's action
+    end_reward: jax.Array = 0.0   # env.end_reward scalar
+    is_end: jax.Array = False     # info['end'] per env
+
+
+def _fine_tune_head_terms(inp: FineTuneInputs, ws: dict, dt: float):
+    """hp/hq/hvel — shared by all three variants (:775-790, :835-850)."""
+    k_rp, k_rq = ws.get("k_rp", 1.0), ws.get("k_rq", 1.0)
+    k_v = ws.get("k_v", 0.1)
+    hp_r = jnp.exp(-k_rp * _norm(
+        inp.head_pose[..., :3] - inp.e_head_pose[..., :3]) ** 2)
+    hq_d = jnp.linalg.norm(multi_quat_norm_v2(tmath.multi_quat_diff(
+        inp.head_pose[..., 3:], inp.e_head_pose[..., 3:])), axis=-1)
+    hq_r = jnp.exp(-k_rq * hq_d**2)
+    hpvel = (inp.head_pose[..., :3] - inp.prev_head_pose[..., :3]) / dt
+    hqvel = tmath.angvel_fd(inp.prev_head_pose[..., 3:],
+                            inp.head_pose[..., 3:], dt)
+    hvel_r = jnp.exp(-_norm(hpvel - inp.e_head_vel[..., :3])
+                     - k_v * _norm(hqvel - inp.e_head_vel[..., 3:]))
+    return hp_r, hq_r, hvel_r
+
+
+def _fine_tune_pose_action(inp: FineTuneInputs, ws: dict):
+    k_a, k_p = ws.get("k_a", 1.0), ws.get("k_p", 1.0)
+    action_r = jnp.exp(-k_a * _norm(inp.action - inp.old_action) ** 2)
+    pose_d = jnp.linalg.norm(multi_quat_norm_v2(
+        tmath.multi_quat_diff(inp.bquat, inp.e_bquat)), axis=-1)
+    pose_r = jnp.exp(-k_p * pose_d**2)
+    return action_r, pose_r
+
+
+def fine_tune_kin_action_reward(inp: FineTuneInputs, ws: dict, dt: float):
+    """Weighted-sum head + pose + action regularization (:740-805).
+
+    The reference's cc_cfg.adap_weight branch (:766-772) re-balances
+    w_p/w_a from kinematic-velocity error; no shipped fine-tune config
+    enables it, so the static-weight path is the contract here.
+    """
+    w_rp, w_rq = ws.get("w_rp", 1.0), ws.get("w_rq", 1.0)
+    w_a, w_p, w_v = ws.get("w_a", 0.05), ws.get("w_p", 1.0), ws.get("w_v", 1.0)
+    w_end = ws.get("w_end", 0.0)
+    hp_r, hq_r, hvel_r = _fine_tune_head_terms(inp, ws, dt)
+    action_r, pose_r = _fine_tune_pose_action(inp, ws)
+    reward = (w_rp * hp_r + w_rq * hq_r + w_v * hvel_r + w_p * pose_r
+              + w_a * action_r) / (w_rp + w_rq + w_v + w_p + w_a)
+    reward = reward + jnp.where(inp.is_end, w_end * inp.end_reward, 0.0)
+    return reward, jnp.stack([hp_r, hq_r, hvel_r, pose_r, action_r], axis=-1)
+
+
+def fine_tune_action_reward(inp: FineTuneInputs, ws: dict, dt: float):
+    """Multiplicative head tracking + additive action term (:807-861)."""
+    w_a, w_end = ws.get("w_a", 0.05), ws.get("w_end", 1.0)
+    k_a = ws.get("k_a", 1.0)
+    hp_r, hq_r, hvel_r = _fine_tune_head_terms(inp, ws, dt)
+    action_r = jnp.exp(-k_a * _norm(inp.action - inp.old_action) ** 2)
+    reward = hp_r * hq_r * hvel_r + w_a * action_r
+    reward = reward + jnp.where(inp.is_end, w_end * inp.end_reward, 0.0)
+    return reward, jnp.stack([hp_r, hq_r, hvel_r, action_r], axis=-1)
+
+
+def fine_tune_reward(inp: FineTuneInputs, ws: dict, dt: float):
+    """Fully multiplicative head + pose tracking; the end bonus is a
+    multiplier here, not an addend (:863-930)."""
+    hp_r, hq_r, hvel_r = _fine_tune_head_terms(inp, ws, dt)
+    k_p = ws.get("k_p", 1.0)
+    pose_d = jnp.linalg.norm(multi_quat_norm_v2(
+        tmath.multi_quat_diff(inp.bquat, inp.e_bquat)), axis=-1)
+    pose_r = jnp.exp(-k_p * pose_d**2)
+    reward = hp_r * hq_r * hvel_r * pose_r
+    reward = reward * jnp.where(inp.is_end, inp.end_reward, 1.0)
+    return reward, jnp.stack([hp_r, hq_r, hvel_r, pose_r], axis=-1)
+
+
 # The reference registry lists 22 ids (kin_poly/core/reward_function.py:
 # 1292-1313). The dynamic_supervision family, which every shipped config
 # uses, is implemented (v1 lives in HumanoidAREnv._reward: it needs
-# env-local prev-state bookkeeping). The legacy ids below belong to retired
-# experiments (video-feature / fine-tune variants) and raise KeyError with
-# a pointer instead of silently training with the wrong formula.
-LEGACY_KIN_POLY_IDS = (
-    # the fine_tune_* trio needs retired egomimic-env machinery the rebuild
-    # does not carry: recorded old_action deltas and fix_start_ind-offset
-    # 'head_info'/'hvel' expert attrs (reward_function.py:740-930)
-    "fine_tune_action_reward", "fine_tune_reward",
-    "fine_tune_kin_action_reward",
-)
+# env-local prev-state bookkeeping). All 22 are now registered; the
+# fine_tune trio runs on FineTuneInputs (head supervision + old_action).
+LEGACY_KIN_POLY_IDS = ()
+
+# fine_tune family: UHC-controller fine-tuning rewards; they consume
+# FineTuneInputs, not ARRewardInputs (reward_function.py:740-930)
+FINE_TUNE_REWARDS: dict[str, Callable] = {
+    "fine_tune_kin_action_reward": fine_tune_kin_action_reward,
+    "fine_tune_action_reward": fine_tune_action_reward,
+    "fine_tune_reward": fine_tune_reward,
+}
 
 # legacy imitation rewards: humanoid_im-style formulas living in the
 # kin-poly registry (the reference's copycat fine-tune experiments); they
@@ -664,13 +755,8 @@ UHC_EXTRA_IMITATION = LEGACY_IMITATION_REWARDS  # alias for the UHC registry
 
 
 def get_kin_poly_reward(reward_id: str) -> Callable:
-    if reward_id in LEGACY_KIN_POLY_IDS:
-        raise KeyError(
-            f"kin-poly reward_id {reward_id!r} needs the retired egomimic "
-            f"env's old_action/head_info machinery (reference "
-            f"kin_poly/core/reward_function.py:740-930) and is not ported; "
-            f"use one of {sorted(KIN_POLY_REWARDS)} or "
-            f"'dynamic_supervision_v1'")
+    if reward_id in FINE_TUNE_REWARDS:
+        return FINE_TUNE_REWARDS[reward_id]
     if reward_id in LEGACY_IMITATION_REWARDS:
         # imitation-style legacy ids run on the UHC env's inputs
         # (humanoid_im dispatch), not the AR env's

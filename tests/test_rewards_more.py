@@ -85,11 +85,68 @@ def test_dynamic_supervision_v3_v6_identity_and_order():
 
 def test_legacy_kin_poly_ids_raise():
     import pytest
-    for rid in ("deep_mimic", "quat_v2", "fine_tune_reward"):
+    for rid in ("deep_mimic", "quat_v2"):
         with pytest.raises(KeyError):
             rewards.get_kin_poly_reward(rid)
     with pytest.raises(KeyError):
         rewards.get_kin_poly_reward("not_a_reward")
+
+
+def _fine_tune_inputs(rng, perfect=True, dt=1.0 / 30.0):
+    """FineTuneInputs with consistent head-velocity features: e_head_vel is
+    the fd velocity of the (prev -> cur) head pair, so perfect tracking
+    means every kernel sees zero distance."""
+    from kinpoly_tpu.core import tmath as tm
+
+    def q(n):
+        x = rng.randn(n, 4)
+        return (x / np.linalg.norm(x, axis=-1, keepdims=True)).reshape(-1)
+
+    prev_h = np.concatenate([rng.randn(3), q(1)]).astype(np.float64)
+    cur_h = np.concatenate([prev_h[:3] + 0.01 * rng.randn(3), q(1)])
+    hvel = np.concatenate([
+        (cur_h[:3] - prev_h[:3]) / dt,
+        np.asarray(tm.angvel_fd(jnp.asarray(prev_h[3:]),
+                                jnp.asarray(cur_h[3:]), dt)),
+    ])
+    bq = q(23)
+    act = rng.randn(75)
+    if perfect:
+        e_h, e_hvel, e_bq, old = cur_h, hvel, bq, act
+    else:
+        e_h = np.concatenate([cur_h[:3] + 0.3, q(1)])
+        e_hvel = hvel + 1.0
+        e_bq, old = q(23), act + 0.5
+    j = jnp.asarray
+    return rewards.FineTuneInputs(
+        head_pose=j(cur_h), prev_head_pose=j(prev_h), e_head_pose=j(e_h),
+        e_head_vel=j(e_hvel), bquat=j(bq), e_bquat=j(e_bq),
+        action=j(act), old_action=j(old),
+        end_reward=jnp.asarray(2.0), is_end=jnp.asarray(False))
+
+
+def test_fine_tune_rewards_identity_and_ordering():
+    """fine_tune trio (reference kin_poly/core/reward_function.py:740-930):
+    perfect head/pose/action tracking scores ~1 per component and beats
+    imperfect tracking; the end bonus applies additively (kin/action) or
+    multiplicatively (fine_tune_reward)."""
+    dt = 1.0 / 30.0
+    for rid, fn in rewards.FINE_TUNE_REWARDS.items():
+        inp_p = _fine_tune_inputs(np.random.RandomState(5), True, dt)
+        inp_o = _fine_tune_inputs(np.random.RandomState(5), False, dt)
+        r_perf, comps = fn(inp_p, {}, dt)
+        r_off, _ = fn(inp_o, {}, dt)
+        assert float(r_perf) > float(r_off), rid
+        np.testing.assert_allclose(np.asarray(comps), 1.0, atol=1e-4,
+                                   err_msg=rid)
+        assert callable(rewards.get_kin_poly_reward(rid))
+        # end-of-episode bonus semantics
+        inp_end = inp_p._replace(is_end=jnp.asarray(True))
+        r_end, _ = fn(inp_end, {}, dt)
+        if rid == "fine_tune_kin_action_reward":   # w_end defaults to 0
+            np.testing.assert_allclose(float(r_end), float(r_perf), atol=1e-6)
+        else:
+            assert float(r_end) > float(r_perf), rid
 
 
 def _uhc_inputs(rng, spec, perfect=True):
@@ -227,17 +284,15 @@ def test_legacy_imitation_rewards_identity_and_ordering():
 
 def test_legacy_ids_dispatch():
     """Registry semantics: imitation ids resolve via the UHC registry, the
-    AR registry redirects them, and the fine_tune trio stays a documented
-    KeyError."""
+    AR registry redirects them, and the fine_tune trio resolves directly."""
     import pytest
 
     for rid in rewards.LEGACY_IMITATION_REWARDS:
         assert callable(rewards.get_uhc_reward(rid))
         with pytest.raises(KeyError, match="imitation"):
             rewards.get_kin_poly_reward(rid)
-    for rid in rewards.LEGACY_KIN_POLY_IDS:
-        with pytest.raises(KeyError, match="egomimic"):
-            rewards.get_kin_poly_reward(rid)
+    for rid in rewards.FINE_TUNE_REWARDS:
+        assert callable(rewards.get_kin_poly_reward(rid))
 
 
 def test_legacy_reward_through_env_dispatch():
