@@ -136,6 +136,13 @@ def main():
         if i % 50 == 0:
             print(f"step {i}: loss {float(l):.4f}  ({time.time()-t0:.0f}s)",
                   flush=True)
+        if i and i % 50 == 0:
+            # checkpoint every 50 steps: a timeout kill keeps the latest
+            # usable weights (the r3 first run lost 450 steps to this)
+            with open(OUT, "wb") as f:
+                pickle.dump(dict(params=jax.device_get(ps[0]),
+                                 head=jax.device_get(ps[1]),
+                                 scale=scale, r2=None, steps=i), f)
 
     # holdout check: R^2 of the egomotion readout on fresh samples
     vels = vel_pool[rng.randint(0, len(vel_pool), 256)]
