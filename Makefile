@@ -6,7 +6,7 @@ test:
 	$(TEST_ENV) python -m pytest tests/ -q
 
 test-fast:
-	$(TEST_ENV) python -m pytest tests/ -q -x -k "not agent and not engine"
+	$(TEST_ENV) python -m pytest tests/ -q -m fast
 
 bench:
 	python bench.py

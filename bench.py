@@ -14,6 +14,7 @@ Baseline: the north-star target of 1M substeps/s on a v5e-8 => 125k/s/chip.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -191,61 +192,69 @@ def build_ar():
     return fn, carry, params, ctx, model
 
 
-def main():
-    if os.environ.get("BENCH_ENV", "uhc") == "ar":
-        fn, carry, params, ctx, model = build_ar()
-        carry1, s, fin = fn(carry, params, ctx, 1)
-        _ = float(s)
-        reps = 3
-        t0 = time.time()
-        finite = True
-        for _ in range(reps):
-            carry1, s, fin = fn(carry1, params, ctx, 1)
-            _ = float(s)
-            finite = finite and bool(fin)
-        wall = (time.time() - t0) / reps
-        control_steps = N_ENVS * N_STEPS
-        substeps = control_steps * model.n_substeps
-        print(json.dumps({
-            "metric": "kinematic-policy (AR) env throughput "
-                      "(GRU policy + frozen UHC in-loop + movable objects)",
-            "value": round(substeps / wall, 1),
-            "unit": "substeps/sec/chip",
-            "vs_baseline": round(substeps / wall / (1_000_000 / 8.0), 3),
-            "detail": {"n_envs": N_ENVS, "rollout_steps": N_STEPS,
-                       "obs_finite": finite,
-                       "control_steps_per_sec": round(control_steps / wall, 1),
-                       "wall_per_iter_s": round(wall, 3),
-                       "device": str(jax.devices()[0])},
-        }))
-        return
+def tpu_probe(timeout_s=70):
+    """Bounded TPU-availability probe.
 
-    fn, carry, params, norm, model = build()
-    # warmup / compile
-    carry1, s, fin = fn(carry, params, norm, 1)
+    The tunneled axon backend has two bad failure modes: rc=1 tracebacks
+    deep in a long run, and indefinite hangs during backend init (round-3's
+    bench capture lost its artifact to both). Probe the backend in a
+    SUBPROCESS with a hard timeout BEFORE committing to the multi-minute
+    compile, retrying once, so a wedged tunnel fails fast and clean.
+    """
+    code = (
+        "import jax\n"
+        "d = jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128))\n"
+        "print(float((x @ x).sum()), d[0].platform)\n"
+    )
+    err = ""
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True)
+            if r.returncode == 0:
+                return True, ""
+            lines = (r.stderr or "").strip().splitlines()
+            err = lines[-1] if lines else f"probe rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = (f"TPU backend init probe timed out after {timeout_s}s "
+                   f"(attempt {attempt}/2) — tunnel wedged or backend down")
+        print(f"# probe attempt {attempt} failed: {err}", file=sys.stderr)
+    return False, err
+
+
+def measure(fn, args, reps=3):
+    """Warm up once, then time `reps` separate calls (single device
+    executions beyond ~50 s crash the tunneled TPU worker — observed twice
+    in round 2 — so reps are separate calls, each forced to completion by
+    the scalar checksum fetch)."""
+    carry1, s, fin = fn(*args, 1)
     _ = float(s)
-
-    # one rep per call: single device executions beyond ~50 s crash the
-    # tunneled TPU worker (observed twice in round 2), so reps are separate
-    # calls, each forced to completion by the scalar checksum fetch
-    reps = 3
     t0 = time.time()
     finite = True
     for _ in range(reps):
-        carry1, s, fin = fn(carry1, params, norm, 1)
+        carry1, s, fin = fn(carry1, *args[1:], 1)
         _ = float(s)
         finite = finite and bool(fin)
-    wall = (time.time() - t0) / reps
+    return (time.time() - t0) / reps, finite
 
+
+BASELINE_PER_CHIP = 1_000_000 / 8.0
+
+
+def row_uhc():
+    fn, carry, params, norm, model = build()
+    wall, finite = measure(fn, (carry, params, norm))
     control_steps = N_ENVS * N_STEPS
     substeps = control_steps * model.n_substeps
     sps = substeps / wall
-    baseline_per_chip = 1_000_000 / 8.0
-    print(json.dumps({
+    return {
         "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
         "value": round(sps, 1),
         "unit": "substeps/sec/chip",
-        "vs_baseline": round(sps / baseline_per_chip, 3),
+        "vs_baseline": round(sps / BASELINE_PER_CHIP, 3),
         "detail": {
             "n_envs": N_ENVS,
             "rollout_steps": N_STEPS,
@@ -254,7 +263,61 @@ def main():
             "wall_per_iter_s": round(wall, 3),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+
+
+def row_ar():
+    global N_ENVS
+    n_envs = int(os.environ.get("BENCH_AR_N_ENVS", str(min(N_ENVS, 1024))))
+    saved, N_ENVS = N_ENVS, n_envs
+    try:
+        fn, carry, params, ctx, model = build_ar()
+    finally:
+        N_ENVS = saved
+    wall, finite = measure(fn, (carry, params, ctx))
+    control_steps = n_envs * N_STEPS
+    substeps = control_steps * model.n_substeps
+    return {
+        "metric": "kinematic-policy (AR) env throughput "
+                  "(GRU policy + frozen UHC in-loop + movable objects)",
+        "value": round(substeps / wall, 1),
+        "unit": "substeps/sec/chip",
+        "vs_baseline": round(substeps / wall / BASELINE_PER_CHIP, 3),
+        "detail": {"n_envs": n_envs, "rollout_steps": N_STEPS,
+                   "obs_finite": finite,
+                   "control_steps_per_sec": round(control_steps / wall, 1),
+                   "wall_per_iter_s": round(wall, 3),
+                   "device": str(jax.devices()[0])},
+    }
+
+
+def main():
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and "cpu" != plat.split(",")[0]:
+        ok, err = tpu_probe()
+        if not ok:
+            print(json.dumps({
+                "metric": "humanoid sim throughput (450Hz substeps, policy-in-loop rollout)",
+                "value": 0.0,
+                "unit": "substeps/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"TPU backend unavailable: {err}",
+            }))
+            sys.exit(1)
+
+    which = os.environ.get("BENCH_ENV", "both")
+    if which == "ar":
+        print(json.dumps(row_ar()))
+        return
+    head = row_uhc()
+    if which == "both":
+        # second graded row: the flagship dynamics-regulated workload.
+        # Embedded in `detail` so stdout stays ONE JSON line.
+        try:
+            head["detail"]["ar_env"] = row_ar()
+        except Exception as e:  # AR row is additive; never lose the headline
+            head["detail"]["ar_env"] = {"error": repr(e)}
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

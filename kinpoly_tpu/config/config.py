@@ -209,6 +209,7 @@ class KinPolyConfig:
             add_noise=self.add_noise, noise_std=self.noise_std,
             model_v=ms.get("model_v", 1),
             rnn_hdim=ms.get("rnn_hdim", 1024),
+            of_dim=ms.get("cnn_fdim", 512),
             mlp_hsize=tuple(ms.get("mlp_hsize", [1024, 512, 256])),
             mlp_htype=ms.get("mlp_htype", "relu"),
             w_rp=ms.get("w_rp", 50.0), w_rr=ms.get("w_rr", 50.0),

@@ -76,6 +76,9 @@ class ARContext(NamedTuple):
     #                          padded frames do NOT count toward coverage)
     context_feat: jax.Array = None   # (N, T, H) per-step context GRU features
     #                                  (use_context / use_of configs)
+    of: jax.Array = None             # (N, T, of_dim) raw optical-flow features
+    #                                  (use_of: the policy obs appends of_t,
+    #                                   reference get_ar_obs_v1)
 
 
 class AREnvState(NamedTuple):
@@ -88,6 +91,10 @@ class AREnvState(NamedTuple):
     done: jax.Array
     fail: jax.Array
     rng: jax.Array
+    # cached FK of sim.qpos (round-4): cc_obs and ar_obs both need FK of the
+    # CURRENT sim pose, which the previous step already computed — carrying
+    # it saves 2 of the 4 full env-level FK calls per control step
+    sim_fk: fklib.FKResult = None
 
 
 def multi_quat_norm_v2(nq: jax.Array) -> jax.Array:
@@ -186,6 +193,13 @@ class HumanoidAREnv:
                         if the_ctx.context_feat is not None
                         else jnp.zeros(state.sim.qpos.shape[:-1]
                                        + (kc.rnn_hdim,), state.sim.qpos.dtype))
+        of_t = None
+        if kc.use_of:
+            the_ctx = self._ctx(ctx)
+            of_t = (self._at(ctx, state, "of", t)
+                    if the_ctx.of is not None
+                    else jnp.zeros(state.sim.qpos.shape[:-1]
+                                   + (kc.of_dim,), state.sim.qpos.dtype))
         obs, _ = ar_obs(
             self.model.spec, kc,
             state.sim.qpos, state.sim.qvel,
@@ -194,8 +208,10 @@ class HumanoidAREnv:
             self._sim_obj_pose(state, ctx),
             self._at(ctx, state, "obj_head_relative_poses", t),
             self._at(ctx, state, "action_one_hot", 0),
+            of_t=of_t,
             context_feat_t=ctx_feat,
             as_policy=True, noise=None,
+            fk_res=state.sim_fk,
         )
         if self.policy_v == 2:
             # the residual policy sees the AR rollout pose as the last 76
@@ -216,8 +232,9 @@ class HumanoidAREnv:
             wbquat=fk_res.xquat.reshape(shape + (-1,)),
         ), fk_res
 
-    def cc_obs(self, sim: eng.SimState, target: TargetFrame):
-        fk_res = fklib.fk(self.model.spec, sim.qpos)
+    def cc_obs(self, sim: eng.SimState, target: TargetFrame, fk_res=None):
+        if fk_res is None:
+            fk_res = fklib.fk(self.model.spec, sim.qpos)
         obs = full_obs(self.cc_cfg, self.base_rot, sim, fk_res, target,
                        include_com=(self.cc_cfg.obs_v == 1))
         from kinpoly_tpu.rl import running_norm as rn
@@ -243,7 +260,7 @@ class HumanoidAREnv:
         target, tgt_fk = self.target_frame(next_qpos)
         tgt_bquat = fklib.body_quat_sim(spec, next_qpos)
 
-        cc_obs = self.cc_obs(prev_sim, target)
+        cc_obs = self.cc_obs(prev_sim, target, fk_res=state.sim_fk)
         cc_mean, cc_log_std = self.cc_policy_apply(
             self.cc_policy_params if cc_params is None else cc_params, cc_obs)
         mean_action = self.mode == "test"
@@ -300,7 +317,7 @@ class HumanoidAREnv:
         new_state = state._replace(
             sim=sim, cur_t=new_t, prev_bquat=cur_bquat,
             prev_hpos=self._head_pose(fk_cur), target_qpos=next_qpos,
-            done=done, fail=fail, rng=rng)
+            done=done, fail=fail, rng=rng, sim_fk=fk_cur)
         obs = self.get_obs(new_state, ctx)
         info = dict(fail=fail, end=end, percent=percent,
                     cc_action=cc_action, cc_state=cc_obs, reward_info=rinfo)
@@ -425,6 +442,7 @@ class HumanoidAREnv:
             done=jnp.asarray(False),
             fail=jnp.asarray(False),
             rng=rng,
+            sim_fk=fk0,
         )
         return state, self.get_obs(state, ctx)
 
@@ -462,7 +480,9 @@ class HumanoidAREnv:
         """Teleport the sim to the AR-predicted pose (humanoid_ar_v1.py:328);
         object state is left as simulated."""
         t = state.cur_t + 1
-        return state._replace(sim=state.sim._replace(
-            qpos=self._at(ctx, state, "ar_qpos", t),
-            qvel=self._at(ctx, state, "ar_qvel", t)))
+        qpos = self._at(ctx, state, "ar_qpos", t)
+        return state._replace(
+            sim=state.sim._replace(
+                qpos=qpos, qvel=self._at(ctx, state, "ar_qvel", t)),
+            sim_fk=fklib.fk(self.model.spec, qpos))
 

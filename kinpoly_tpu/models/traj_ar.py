@@ -170,10 +170,14 @@ class ClipData(NamedTuple):
 
 def ar_obs(spec, cfg: TrajARConfig, qpos, qvel, head_pose_t, head_vels_t,
            obj_pose_t, obj_rel_head_t, action_one_hot_t, of_t=None,
-           context_feat_t=None, as_policy: bool = False, noise=None):
+           context_feat_t=None, as_policy: bool = False, noise=None,
+           fk_res=None):
     """AR state vector + FK features for the current sim qpos against the
-    frame-t context. All inputs batched (..., d)."""
-    fk_res = fklib.fk(spec, qpos)
+    frame-t context. All inputs batched (..., d). `fk_res` lets a caller
+    that already holds FK(qpos) (the AR env caches it across steps) skip
+    the recompute."""
+    if fk_res is None:
+        fk_res = fklib.fk(spec, qpos)
     head_idx = spec.body_index("Head")
     pred_hpos = fk_res.xpos[..., head_idx, :]
     pred_hrot = fk_res.xquat[..., head_idx, :]

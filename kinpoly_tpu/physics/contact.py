@@ -455,10 +455,23 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
     Movable-object coupling: A_extra adds the object-side Delassus block
     J_o M_o^-1 J_o^T, vel_extra/acc_smooth_extra add the object-side
     relative velocity / unconstrained acceleration along each row.
+
+    Split-OF: J/MiJt may carry FEWER rows/columns than 3K — the trailing
+    rows (object-floor contacts) then have an identically-zero humanoid
+    side and live only through A_extra/vel_extra/acc_smooth_extra. The
+    returned f is always (..., 3K); the caller applies MiJt @ f[..., :rows].
     """
     nK = depth.shape[-1]
+    n_h = J.shape[-2]                                    # humanoid-side rows
+    n_of = 3 * nK - n_h
 
-    A = J @ MiJt                                         # (..., 3K, 3K)
+    def _pad_rows(x):
+        return (x if n_of == 0 else
+                jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_of)]))
+
+    A = J @ MiJt                                         # (..., n_h, n_h)
+    if n_of:
+        A = jnp.pad(A, [(0, 0)] * (A.ndim - 2) + [(0, n_of), (0, n_of)])
     if A_extra is not None:
         A = A + A_extra
 
@@ -467,7 +480,7 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
     b_coef = 2.0 / (SOLIMP[1] * timeconst)
     k_coef = d / (SOLIMP[1] * SOLIMP[1] * timeconst * timeconst * dampratio * dampratio)
 
-    vel_c = jnp.einsum("...cv,...v->...c", J, qvel)      # (..., 3K)
+    vel_c = _pad_rows(jnp.einsum("...cv,...v->...c", J, qvel))  # (..., 3K)
     if vel_extra is not None:
         vel_c = vel_c + vel_extra
     vel3 = vel_c.reshape(vel_c.shape[:-1] + (nK, 3))
@@ -477,7 +490,7 @@ def contact_forces(J: jax.Array, MiJt: jax.Array, qacc_smooth: jax.Array,
     aref = jnp.concatenate([aref_n[..., None], aref_t], axis=-1).reshape(vel_c.shape)
 
     # residual: we want J qacc ~ aref => (A + R) f = aref - J qacc_smooth
-    rhs = aref - jnp.einsum("...cv,...v->...c", J, qacc_smooth)
+    rhs = aref - _pad_rows(jnp.einsum("...cv,...v->...c", J, qacc_smooth))
     if acc_smooth_extra is not None:
         rhs = rhs - acc_smooth_extra
 

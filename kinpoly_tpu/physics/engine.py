@@ -119,6 +119,12 @@ class PhysicsModel:
     # upgrades "dense" to the Pallas batch-on-lanes kernel)
     solver: str = "ltdl"
     topo: object = None          # ltdl.LTDLTopo (set by build_model)
+    # split-OF (round-4): keep object-floor contact rows OUT of the humanoid
+    # Jacobian / fused mass solve — their humanoid-side J is identically zero
+    # (body = -1), so carrying them wastes ~30 of 109 RHS columns in the LTDL
+    # multi-RHS solve and zero blocks in the Delassus build. False restores
+    # the round-3 merged path (kept for the equivalence test).
+    split_of: bool = True
     # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
     # this stops the v^2 Coriolis feedback loop that can take a blown-up env
     # from ~1e2 to inf within one 15-substep control step (the reference
@@ -339,13 +345,16 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
                 friction=model.friction)
             cs = ct.merge_contacts(cs, ocs)
             n_live.append(ocs.depth.shape[-1])
+        fcs = None
+        split_of = movable and model.split_of
         if movable:
             fcs = ct.object_floor_contacts(
                 obj_qpos, model.obj_dyn.floor_verts,
                 model.obj_dyn.floor_vert_obj, model.obj_floor_top_k,
                 margin=spec.geom_margin, friction=model.friction)
-            cs = ct.merge_contacts(cs, fcs)
-            n_live.append(fcs.depth.shape[-1])
+            if not split_of:
+                cs = ct.merge_contacts(cs, fcs)
+                n_live.append(fcs.depth.shape[-1])
 
         J = ct.contact_jacobian(cs, ks.phi, tables.anc_dof_body)
         depth, active, friction = cs.depth, cs.active, cs.friction
@@ -362,6 +371,19 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
             live_contact = np.ones(3 * sum(n_live), bool)
             live_limit = np.tile([True, False, False], model.limit_top_k)
             row_live = jnp.asarray(np.concatenate([live_contact, live_limit]))
+
+        if split_of:
+            # object-floor rows appended AFTER the humanoid rows: they enter
+            # the PSOR system (depth/active/friction and, below, the object-
+            # side Delassus block) but NOT J / the fused mass solve — their
+            # humanoid-side Jacobian is identically zero
+            depth = jnp.concatenate([depth, fcs.depth], axis=-1)
+            active = jnp.concatenate([active, fcs.active], axis=-1)
+            friction = jnp.concatenate([friction, fcs.friction], axis=-1)
+            if row_live is not None:
+                row_live = jnp.concatenate(
+                    [row_live,
+                     jnp.ones(3 * fcs.depth.shape[-1], bool)], axis=-1)
 
         # one fused multi-RHS solve: [tau - C, J^T] -> [qacc_smooth, M^-1 J^T];
         # the constraint acceleration is then MiJt @ f — no extra back-solve
@@ -394,6 +416,10 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
             obj_rows = jnp.concatenate(
                 [obj_rows_c,
                  jnp.full(obj_rows_c.shape[:-1] + (pad,), -1, jnp.int32)], axis=-1)
+            if split_of:
+                Jo_f, obj_rows_f = ct.object_jacobian(fcs, com_w)
+                Jo = jnp.concatenate([Jo, Jo_f], axis=-2)
+                obj_rows = jnp.concatenate([obj_rows, obj_rows_f], axis=-1)
 
             onehot = (obj_rows[..., None] == jnp.arange(n_obj)).astype(dtype)
             K_lin = Jo[..., :3] * jnp.einsum("...rn,n->...r", onehot, minv)[..., None]
@@ -421,7 +447,8 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
             use_pallas=model.use_pallas_pgs,
             A_extra=A_extra, vel_extra=vel_extra, acc_smooth_extra=acc_extra,
         )
-        qacc = qacc + jnp.einsum("...vc,...c->...v", MiJt, f)
+        qacc = qacc + jnp.einsum(
+            "...vc,...c->...v", MiJt, f[..., :J.shape[-2]])
 
     obj_qpos_new, obj_qvel_new = state.obj_qpos, state.obj_qvel
     if movable and not with_contacts:

@@ -94,7 +94,10 @@ class AgentAR:
 
         self.policy = PolicyAR(env.model.spec, env.kin_cfg, cfg.log_std,
                                policy_v=getattr(env, "policy_v", 1))
-        example = dataset.get_batch(self.np_rng, 1)
+        # use_of configs need the raw flow features threaded through every
+        # batch (context GRU input + per-step policy obs)
+        self._use_of = bool(getattr(env.kin_cfg, "use_of", False))
+        example = self._get_batch(1)
         self.rng, k = jax.random.split(self.rng)
         self.params = self.policy.init_params(k, example)
 
@@ -135,6 +138,10 @@ class AgentAR:
         # per-take success tracking for adaptive window sampling
         self.freq = {}
 
+    def _get_batch(self, batch_size, **kw):
+        return self.dataset.get_batch(self.np_rng, batch_size,
+                                      use_of=self._use_of, **kw)
+
     # ------------------------------------------------------------------
     # supervised pretraining (train_init)
     # ------------------------------------------------------------------
@@ -168,13 +175,13 @@ class AgentAR:
         (phase, step, loss) as it goes (on tunneled TPUs each step pays a
         host->device batch upload, so live progress matters)."""
         for i in range(init_steps):
-            batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
+            batch = self._get_batch(self.cfg.batch_size)
             self.params, self.sup_opt_state, loss, _ = self._jit_init_sup(
                 self.params, self.sup_opt_state, batch)
             if i % log_every == 0:
                 yield ("init", i, float(loss))
         for i in range(full_steps):
-            batch = self.dataset.get_batch(self.np_rng, self.cfg.batch_size)
+            batch = self._get_batch(self.cfg.batch_size)
             self.rng, k = jax.random.split(self.rng)
             self.params, self.sup_opt_state, loss, _ = self._jit_full_sup(
                 self.params, self.sup_opt_state, batch, k, gt_rate)
@@ -207,6 +214,7 @@ class AgentAR:
             length=(batch.length - 1 if batch.length is not None
                     else jnp.full((B,), T - 1, jnp.int32)),
             context_feat=ar.get("context_feat"),
+            of=batch.of,
         )
 
     # ------------------------------------------------------------------
@@ -260,13 +268,14 @@ class AgentAR:
                 surr = -jnp.mean(jnp.minimum(
                     ratio * a,
                     jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * a))
-                return surr
+                return surr, jnp.mean(jnp.abs(ratio - 1.0))
 
-            pl, pg = jax.value_and_grad(p_loss)(params)
+            (pl, ratio_dev), pg = jax.value_and_grad(p_loss, has_aux=True)(params)
             pg = _pg(pg)
+            pgnorm = optax.global_norm(pg)
             pu, pol_state = self.pol_opt.update(pg, pol_state, params)
             params = optax.apply_updates(params, pu)
-            return (params, pol_state, value_params, val_state), (pl, vl)
+            return (params, pol_state, value_params, val_state), (pl, vl, ratio_dev, pgnorm)
 
         def joint_epoch(ts, key):
             """Combined PPO + per-step BC loss in ONE optimizer step
@@ -294,26 +303,27 @@ class AgentAR:
                     jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * a))
                 bc, _ = self.policy.step_update_loss(
                     p, traj.obs, prev_masks, traj.curr_qpos, traj.gt_qpos)
-                return w_ppo * surr + w_bc * bc * 10.0
+                return w_ppo * surr + w_bc * bc * 10.0, jnp.mean(jnp.abs(ratio - 1.0))
 
-            pl, pg = jax.value_and_grad(p_loss)(params)
+            (pl, ratio_dev), pg = jax.value_and_grad(p_loss, has_aux=True)(params)
             pg = _pg(pg)
+            pgnorm = optax.global_norm(pg)
             pu, pol_state = self.pol_opt.update(pg, pol_state, params)
             params = optax.apply_updates(params, pu)
-            return (params, pol_state, value_params, val_state), (pl, vl)
+            return (params, pol_state, value_params, val_state), (pl, vl, ratio_dev, pgnorm)
 
         if cfg.grad_joint:
             ts = (params, pol_opt_state, value_params, val_opt_state)
-            ts, (pls, vls) = jax.lax.scan(
+            ts, (pls, vls, ratio_devs, pgnorms) = jax.lax.scan(
                 joint_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
             params, pol_opt_state, value_params, val_opt_state = ts
         elif cfg.rl_update:
             ts = (params, pol_opt_state, value_params, val_opt_state)
-            ts, (pls, vls) = jax.lax.scan(
+            ts, (pls, vls, ratio_devs, pgnorms) = jax.lax.scan(
                 ppo_epoch, ts, jax.random.split(rng, cfg.num_optim_epoch))
             params, pol_opt_state, value_params, val_opt_state = ts
         else:
-            pls = vls = jnp.zeros((1,))
+            pls = vls = ratio_devs = pgnorms = jnp.zeros((1,))
 
         # step_update: supervised BC epochs through the kinematic integrator
         # toward the GT next pose (agent_ar.py:720-726); the 'dyna' variant
@@ -385,6 +395,12 @@ class AgentAR:
             bc_loss=bc_losses.mean(),
             cc_loss=cc_losses.mean(),
             fail_frac=traj.fails.mean(),
+            # PPO-liveness diagnostics (round-4): ~0 surrogate is expected by
+            # construction with mean-action rollouts; these distinguish "PPO
+            # contributes" from "training is BC-only"
+            ratio_dev=ratio_devs.mean(),       # mean |ratio - 1| over epochs
+            ppo_grad_norm=pgnorms.mean(),
+            adv_std=adv.std(),
         )
         return (params, value_params, pol_opt_state, val_opt_state, sup_state,
                 carry, metrics, traj.percents, traj.clips, traj.masks == 0,
@@ -394,8 +410,8 @@ class AgentAR:
         """One full training epoch (agent_ar.optimize_policy:271)."""
         t0 = time.time()
         cfg = self.cfg
-        batch = self.dataset.get_batch(
-            self.np_rng, cfg.n_envs, freq_dict=self.freq or None,
+        batch = self._get_batch(
+            cfg.n_envs, freq_dict=self.freq or None,
             sampling_temp=cfg.sampling_temp, sampling_freq=cfg.sampling_freq)
         self._batch_take_idx = np.asarray(batch.take_idx)
         ctx = self._jit_build_ctx(self.params, batch)
@@ -434,11 +450,11 @@ class AgentAR:
         # host-side supervised extras (agent_ar.update_params:682 dispatch)
         if cfg.init_update:
             for _ in range(cfg.num_init_update):
-                b = self.dataset.get_batch(self.np_rng, cfg.batch_size)
+                b = self._get_batch(cfg.batch_size)
                 self.params, self.sup_opt_state, _, _ = self._jit_init_sup(
                     self.params, self.sup_opt_state, b)
         if cfg.full_update:
-            b = self.dataset.get_batch(self.np_rng, cfg.batch_size)
+            b = self._get_batch(cfg.batch_size)
             self.rng, k = jax.random.split(self.rng)
             self.params, self.sup_opt_state, _, _ = self._jit_full_sup(
                 self.params, self.sup_opt_state, b, k, 0.3)

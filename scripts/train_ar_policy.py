@@ -170,7 +170,9 @@ def main():
         mlog.log(i, m)
         logger.info(
             f"epoch {i}  R {m['reward_mean']:.4f}  bc {m['bc_loss']:.4f}  "
-            f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  T {m['T_iter']:.2f}s")
+            f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  "
+            f"|r-1| {m.get('ratio_dev', 0):.4f}  pg {m.get('ppo_grad_norm', 0):.2f}  "
+            f"advs {m.get('adv_std', 0):.3f}  T {m['T_iter']:.2f}s")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 import numpy as np
 import pytest
 
+# the "fast" marker (pytest -m fast / make test-fast): the math/metrics/
+# rewards core — cheap, compile-light modules that verify the numerical
+# contracts without building full engine/env/agent graphs
+_FAST_MODULES = {
+    "test_tmath",
+    "test_fk",
+    "test_metrics",
+    "test_success",
+    "test_rewards_more",
+    "test_bvh",
+    "test_datasets",
+    "test_aux_models",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def rng():

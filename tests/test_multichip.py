@@ -169,7 +169,8 @@ def test_ar_composite_train_step_8dev():
         out_specs = (P(), P(), P(), P(), P(), carry_specs,
                      jax.tree.map(lambda _: P(), {
                          "reward_mean": 0, "ppo_loss": 0, "value_loss": 0,
-                         "bc_loss": 0, "cc_loss": 0, "fail_frac": 0}),
+                         "bc_loss": 0, "cc_loss": 0, "fail_frac": 0,
+                         "ratio_dev": 0, "ppo_grad_norm": 0, "adv_std": 0}),
                      P("dp", None) if False else P(None, "dp"),
                      P(None, "dp"), P(None, "dp"), P(), P())
         return shard_map(

@@ -120,3 +120,28 @@ def test_static_mode_unchanged(setup):
     out = run(model_s, st, 15)
     assert out.obj_qpos is None and out.obj_qvel is None
     assert np.isfinite(np.asarray(out.qpos)).all()
+
+
+def test_split_of_equivalence(setup):
+    """Round-4 split-OF path (object-floor rows kept out of the humanoid
+    Jacobian / fused mass solve) solves the same contact QP as the round-3
+    merged path: identical fixed point, only the Gauss-Seidel sweep order
+    differs. Run the push scenario down both paths at high iteration count
+    and require trajectory agreement."""
+    spec, model, qpos, qvel = setup
+    import dataclasses
+    m_split = dataclasses.replace(model, split_of=True, contact_iters=60)
+    m_merged = dataclasses.replace(model, split_of=False, contact_iters=60)
+    obj = parked(len(spec.objects))
+    obj[BOX] = [qpos[0] + 0.32, qpos[1], 0.9, 1.0, 0, 0, 0]
+    v = qvel.copy()
+    v[0] = 1.5
+    st = eng.SimState(jnp.asarray(qpos), jnp.asarray(v),
+                      jnp.asarray(obj), jnp.zeros((len(spec.objects), 6)))
+    a = run(m_split, st, 60)
+    b = run(m_merged, st, 60)
+    assert np.allclose(np.asarray(a.qpos), np.asarray(b.qpos),
+                       atol=1e-4), np.abs(np.asarray(a.qpos - b.qpos)).max()
+    assert np.allclose(np.asarray(a.obj_qpos[BOX]), np.asarray(b.obj_qpos[BOX]),
+                       atol=1e-4), np.abs(np.asarray(a.obj_qpos - b.obj_qpos)).max()
+    assert np.allclose(np.asarray(a.qvel), np.asarray(b.qvel), atol=5e-3)

@@ -1,0 +1,208 @@
+"""Egocentric video rendering + the real wild feature chain (round-4
+VERDICT #6: the --wild path had zero executed evidence).
+
+For each take in a qpos bank this renders first-person frames from the
+head trajectory with a vectorized numpy raycaster (checkerboard floor +
+scene objects as shaded boxes), then runs the REAL video feature chain
+the policy consumes:
+
+    frames -> Horn-Schunck pyramid flow -> trained FlowFeatureEncoder
+    (data_bank/of_encoder.pkl, egomotion R^2 0.82) -> per-frame `of`
+
+and writes a bank with `of` attached ({name: {qpos, obj_pose, action, of}})
+— the input format of `eval_ar_policy --wild` / use_of training. A
+third-person camera additionally exercises the person-crop branch
+(smooth_bboxes -> crop_person -> PersonFeatureExtractor), mirroring the
+reference's SPIN feature pipeline (kin_poly/data_process/
+feature_extractor.py); those features are saved as `person_feat`.
+
+  python tools/render_ego_video.py IN_BANK OUT_BANK [--frames-dir DIR]
+
+Camera convention (measured from the head body quat of the standing pose):
+forward = head-local +z, up = head-local +y.
+
+Reference parity: compute_of_feat.py (PWC-Net -> ResNet features) and
+smooth_bbox.py + feature_extractor.py — re-done with shippable weights.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import joblib
+import numpy as np
+
+from kinpoly_tpu.anim.mjcf import parse_humanoid
+from kinpoly_tpu.core import tmath
+from kinpoly_tpu.physics import fk as fklib
+
+H = W = 64
+FOV = np.deg2rad(70.0)
+
+# object half-sizes for the box-proxy render (chair, box, table, Can, step),
+# roughly the MJCF geom extents (_all_step.xml:190-215)
+OBJ_HALF = {
+    "chair": (0.22, 0.22, 0.40), "box": (0.15, 0.19, 0.12),
+    "table": (0.50, 0.35, 0.40), "Can": (0.28, 0.28, 0.35),
+    "step": (0.40, 0.40, 0.17),
+}
+OBJ_SHADE = {"chair": 0.85, "box": 0.95, "table": 0.65, "Can": 0.75,
+             "step": 0.9}
+
+
+def ray_dirs():
+    """(H*W, 3) camera-frame ray directions (forward +z, up +y, right +x)."""
+    f = 0.5 / np.tan(FOV / 2)
+    xs = (np.arange(W) + 0.5) / W - 0.5
+    ys = 0.5 - (np.arange(H) + 0.5) / H
+    gx, gy = np.meshgrid(xs, ys)
+    d = np.stack([gx, gy, np.full_like(gx, f)], -1).reshape(-1, 3)
+    return d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def ray_box(o, d, center, half):
+    """Slab test: origins (P, 3), dirs (P, 3) vs axis-aligned box.
+    Returns (hit (P,), t (P,))."""
+    inv = 1.0 / np.where(np.abs(d) < 1e-9, 1e-9, d)
+    t0 = (center - half - o) * inv
+    t1 = (center + half - o) * inv
+    tmin = np.minimum(t0, t1).max(-1)
+    tmax = np.maximum(t0, t1).min(-1)
+    hit = (tmax >= np.maximum(tmin, 1e-3))
+    return hit, np.where(tmin > 1e-3, tmin, tmax)
+
+
+def render_frame(cam_pos, Rcam, boxes):
+    """One (H, W) grayscale frame. boxes: list of (center, half, shade)."""
+    d_cam = ray_dirs()
+    d = d_cam @ Rcam.T                              # world-frame dirs
+    o = np.broadcast_to(cam_pos, d.shape)
+    img = 0.55 + 0.25 * np.clip(d[:, 2], 0, 1)      # sky gradient
+    tbest = np.full(len(d), np.inf)
+
+    # floor z=0 checkerboard
+    mz = d[:, 2] < -1e-6
+    tf = np.where(mz, -o[:, 2] / np.where(mz, d[:, 2], -1.0), np.inf)
+    px = o[:, 0] + tf * d[:, 0]
+    py = o[:, 1] + tf * d[:, 1]
+    checker = ((np.floor(px / 0.5) + np.floor(py / 0.5)) % 2)
+    fade = np.exp(-0.06 * np.clip(tf, 0, 50))
+    fl = (0.25 + 0.45 * checker) * fade + 0.5 * (1 - fade)
+    take = mz & (tf < tbest)
+    img = np.where(take, fl, img)
+    tbest = np.where(take, tf, tbest)
+
+    for center, half, shade in boxes:
+        hit, t = ray_box(o, d, center, half)
+        take = hit & (t < tbest)
+        # cheap lambert-ish shading from hit height
+        pz = o[:, 2] + t * d[:, 2]
+        col = shade * (0.6 + 0.4 * np.clip((pz - center[2]) / max(half[2], 1e-3), -1, 1) * 0.5)
+        img = np.where(take, col, img)
+        tbest = np.where(take, t, tbest)
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8).reshape(H, W)
+
+
+def head_camera(qpos_seq, spec):
+    """(T, 3) cam pos + (T, 3, 3) world-from-camera rotations."""
+    res = fklib.fk(spec, jnp.asarray(qpos_seq))
+    h = spec.body_index("Head")
+    pos = np.asarray(res.xpos[:, h])
+    Rh = np.asarray(tmath.quat_to_mat(res.xquat[:, h]))   # head-local -> world
+    # camera axes in head-local coords: right -x, up +y, forward +z
+    C = np.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    return pos + Rh[..., :, 2] * 0.05, Rh @ C
+
+
+def humanoid_boxes(qpos, spec):
+    """Coarse box proxy of the humanoid for the third-person camera."""
+    res = fklib.fk(spec, jnp.asarray(qpos[None]))
+    xp = np.asarray(res.xpos[0])
+    parts = [("Pelvis", (0.16, 0.12, 0.12), 0.8), ("Head", (0.09, 0.11, 0.12), 0.95),
+             ("Chest", (0.16, 0.12, 0.18), 0.85),
+             ("L_Knee", (0.07, 0.07, 0.20), 0.7), ("R_Knee", (0.07, 0.07, 0.20), 0.7),
+             ("L_Elbow", (0.05, 0.05, 0.14), 0.75), ("R_Elbow", (0.05, 0.05, 0.14), 0.75)]
+    return [(xp[spec.body_index(n)], np.asarray(h), s) for n, h, s in parts]
+
+
+def third_person_frames(qpos_seq, spec, obj_boxes):
+    """(T, H, W) grayscale frames from a fixed tripod + (T, 4) person bbox
+    [cx, cy, w, h] from the projected body extents."""
+    root0 = np.asarray(qpos_seq[0, :3])
+    cam = root0 + np.array([2.4, -2.2, 0.7])
+    fwd = (np.asarray(qpos_seq[len(qpos_seq) // 2, :3]) - cam)
+    fwd[2] *= 0.5
+    fwd /= np.linalg.norm(fwd)
+    up0 = np.array([0.0, 0, 1.0])
+    right = np.cross(fwd, up0); right /= np.linalg.norm(right)
+    up = np.cross(right, fwd)
+    Rcam = np.stack([right, up, fwd], -1)           # cam->world
+    f = 0.5 / np.tan(FOV / 2)
+    frames, boxes = [], []
+    for t in range(len(qpos_seq)):
+        hb = humanoid_boxes(qpos_seq[t], spec)
+        frames.append(render_frame(cam, Rcam, hb + obj_boxes))
+        pts = np.stack([c for c, _, _ in hb])
+        pc = (pts - cam) @ Rcam                      # world -> cam
+        u = (pc[:, 0] / pc[:, 2] * f + 0.5) * W
+        v = (0.5 - pc[:, 1] / pc[:, 2] * f) * H
+        cx, cy = u.mean(), v.mean()
+        boxes.append([cx, cy, max(np.ptp(u) + 10, 12), max(np.ptp(v) + 14, 12)])
+    return np.stack(frames), np.asarray(boxes)
+
+
+def main():
+    in_bank, out_bank = sys.argv[1], sys.argv[2]
+    frames_dir = None
+    if "--frames-dir" in sys.argv:
+        frames_dir = sys.argv[sys.argv.index("--frames-dir") + 1]
+        os.makedirs(frames_dir, exist_ok=True)
+
+    from kinpoly_tpu.data.video import (FlowFeatureEncoder,
+                                        PersonFeatureExtractor,
+                                        compute_of_features)
+    spec = parse_humanoid(
+        "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
+    obj_names = [o.name for o in spec.objects]
+    enc = FlowFeatureEncoder()
+    person = PersonFeatureExtractor(feature_dim=512)
+
+    takes = joblib.load(in_bank)
+    out = {}
+    for name, t in takes.items():
+        q = np.asarray(t["qpos"], np.float32)
+        obj = np.asarray(t["obj_pose"], np.float32)
+        action = t.get("action", "sit")
+        # active object as a shaded box at its (possibly moving) pose
+        from kinpoly_tpu.metrics.pose_metrics import ACTION_OBJECT_NAMES
+        oname = ACTION_OBJECT_NAMES.get(action, "chair")
+        half = np.asarray(OBJ_HALF[oname])
+        cam_pos, Rcams = head_camera(q, spec)
+        frames = np.stack([
+            render_frame(cam_pos[i], Rcams[i],
+                         [(obj[i, :3], half, OBJ_SHADE[oname])])
+            for i in range(len(q))])
+        of = compute_of_features(frames, enc)
+        tp_frames, bboxes = third_person_frames(
+            q[:: max(len(q) // 30, 1)], spec,
+            [(obj[0, :3], half, OBJ_SHADE[oname])])
+        pf = person(tp_frames[..., None].repeat(3, -1), bboxes)
+        out[name] = dict(t, of=of.astype(np.float32),
+                         person_feat=pf.astype(np.float32))
+        print(f"{name}: {len(q)} frames -> of {of.shape}, person {pf.shape}, "
+              f"flow|of| {np.abs(of).mean():.3f}")
+        if frames_dir:
+            np.savez_compressed(os.path.join(frames_dir, f"{name}.npz"),
+                                ego=frames, third=tp_frames)
+    joblib.dump(out, out_bank)
+    print(f"wrote {len(out)} of-augmented takes to {out_bank}")
+
+
+if __name__ == "__main__":
+    main()
