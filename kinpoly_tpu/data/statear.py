@@ -276,9 +276,15 @@ def load_annotations(path: str, spec=None) -> list[dict]:
                 obj = np.zeros((q.shape[0], 7), np.float32)
                 obj[:, :3] = [100.0, 100.0, 0.5]
                 obj[:, 3] = 1.0
+            raw = take
             take = derive_features(spec, q, np.asarray(obj, np.float32),
                                    action=take.get("action", "sit"),
                                    obj2_pose=take.get("table_pose"))
             take["name"] = name
+            # video-feature banks (use_of configs): carry the rendered
+            # flow/person features alongside the derived kinematic ones
+            for k in ("of", "person_feat"):
+                if k in raw:
+                    take[k] = np.asarray(raw[k], np.float32)
         takes.append(take)
     return takes

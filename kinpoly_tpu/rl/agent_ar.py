@@ -103,6 +103,8 @@ class AgentAR:
 
         from kinpoly_tpu.models.traj_ar import obs_dim as ar_obs_dim
         obs_dim = ar_obs_dim(env.kin_cfg, as_policy=True)
+        if getattr(env, "policy_v", 1) == 2:
+            obs_dim += 76  # residual policy obs appends the AR pose
         self.value = nets.Value(hidden=(512, 256))
         self.rng, k = jax.random.split(self.rng)
         self.value_params = self.value.init(k, jnp.zeros((1, obs_dim)))
@@ -148,7 +150,10 @@ class AgentAR:
 
     def _full_sup_step(self, params, opt_state, batch: ClipData, rng, gt_rate):
         def loss_fn(p):
-            feats = self.policy.net.apply(p, batch, gt_rate, rng, True)
+            # policy_v=2 wraps the AR net params as {"arnet","delta"}; the
+            # supervised phases train only the AR net (delta grads are zero)
+            feats = self.policy.net.apply(
+                self.policy._arnet_params(p), batch, gt_rate, rng, True)
             loss, info = compute_loss(self.env.kin_cfg, feats, batch)
             return loss, info
 
@@ -159,7 +164,8 @@ class AgentAR:
     def _init_sup_step(self, params, opt_state, batch: ClipData):
         def loss_fn(p):
             qpos0, qvel0, _ = self.policy.net.apply(
-                p, batch, method=TrajARNet.init_states)
+                self.policy._arnet_params(p), batch,
+                method=TrajARNet.init_states)
             loss, info = compute_loss_init(
                 self.env.model.spec, self.env.kin_cfg, qpos0,
                 batch.qpos[:, 0], qvel0, batch.qvel[:, 0])

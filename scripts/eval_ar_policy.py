@@ -101,7 +101,8 @@ def main():
         logger.info(f"checkpoint {ckpt} not found; evaluating fresh params")
 
     # whole-take contexts
-    batches = [dataset.whole_take(i) for i in range(dataset.n_takes)]
+    batches = [dataset.whole_take(i, use_of=cfg.use_of)
+               for i in range(dataset.n_takes)]
     batch = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *batches)
     ctx = agent._jit_build_ctx(agent.params, batch, True)
 

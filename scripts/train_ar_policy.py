@@ -62,6 +62,9 @@ def main():
     p.add_argument("--rollout-steps", type=int, default=None)
     p.add_argument("--joint-controller", action="store_true",
                    help="fine-tune the UHC controller jointly (agent_ar.py:749)")
+    p.add_argument("--no-rl-update", action="store_true",
+                   help="ablate the PPO half of the composite update "
+                        "(BC-only arm of the round-4 PPO-liveness A/B)")
     p.add_argument("--step-update-dyna", action="store_true",
                    help="add BC toward the simulated result pose (update mode "
                         "step_update_dyna, agent_ar.py:720-726)")
@@ -144,9 +147,14 @@ def main():
         tc = tc.__class__(**{**tc.__dict__, "joint_controller": True})
     if args.step_update_dyna:
         tc = tc.__class__(**{**tc.__dict__, "step_update_dyna": True})
+    if args.no_rl_update:
+        tc = tc.__class__(**{**tc.__dict__, "rl_update": False})
     agent = AgentAR(env, dataset, tc, out_dir=cfg.model_dir)
-    if args.iter > 0:
-        agent.load_checkpoint(os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p"))
+    ckpt_path = os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p")
+    if args.iter > 0 or os.path.exists(ckpt_path):
+        # --iter 0 resumes from the saved warm-start checkpoint when one
+        # exists (reference train_init saves checkpoint 0 for exactly this)
+        agent.load_checkpoint(ckpt_path)
     elif not args.skip_init:
         logger.info("supervised warm start (train_init)...")
         for tag, i, loss in agent.train_init(
@@ -173,6 +181,9 @@ def main():
             f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  "
             f"|r-1| {m.get('ratio_dev', 0):.4f}  pg {m.get('ppo_grad_norm', 0):.2f}  "
             f"advs {m.get('adv_std', 0):.3f}  T {m['T_iter']:.2f}s")
+    # short runs end between save_model_interval marks; keep the last epoch
+    if cfg.model_dir and agent.epoch % cfg.train_config().save_model_interval != 0:
+        logger.info(f"saved final checkpoint {agent.save_checkpoint()}")
 
 
 if __name__ == "__main__":

@@ -111,3 +111,41 @@ def test_grad_joint_epoch():
     m2 = a2.optimize_policy()
     for m in (m1, m2):
         assert np.isfinite(m["reward_mean"]) and np.isfinite(m["ppo_loss"])
+
+
+def test_agent_ar_use_of_policy_v2():
+    """use_of + policy_v=2 end to end (round-4 fix: the supervised phases
+    must unwrap the {"arnet","delta"} params tree, and the value net obs
+    dim must include the residual policy's appended 76-d AR pose)."""
+    spec = get_spec()
+    model = eng.build_model(spec, uhc_control_params(spec))
+    rng = np.random.RandomState(7)
+    takes = []
+    for t in make_dataset().takes:
+        t = dict(t)
+        T = t["qpos"].shape[0]
+        t["of"] = rng.uniform(-1, 1, (T, 16)).astype(np.float32)
+        takes.append(t)
+    ds = statear.StateARDataset(takes, fr_num=12)
+
+    kin_cfg = TrajARConfig(rnn_hdim=32, mlp_hsize=(32,), of_dim=16,
+                           use_of=True, add_noise=False)
+    cc_cfg = EnvConfig(obs_v=1)
+    cc_policy = nets.PolicyMCP(action_dim=75, num_primitive=2,
+                               hidden=(32,), composer_hidden=(16,))
+    cc_params = cc_policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 784)))
+    env = HumanoidAREnv(
+        model, kin_cfg, cc_cfg, ARRewardWeights(), context=None,
+        cc_policy_apply=cc_policy.apply, cc_policy_params=cc_params,
+        cc_norm=rn.init(784), mode="train", policy_v=2)
+    cfg = ARTrainConfig(batch_size=2, fr_num=12, n_envs=2, rollout_steps=6,
+                        num_optim_epoch=2, num_step_update=2)
+    agent = AgentAR(env, ds, cfg)
+    assert set(agent.params) == {"arnet", "delta"}
+
+    losses = [l for _, _, l in agent.train_init(init_steps=4, full_steps=2,
+                                                log_every=1)]
+    assert all(np.isfinite(losses)), losses
+    out = agent.optimize_policy()
+    for k, v in out.items():
+        assert np.isfinite(v), (k, v)
