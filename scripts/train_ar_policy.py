@@ -56,6 +56,9 @@ def main():
     p.add_argument("--iter", type=int, default=0)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--skip-init", action="store_true")
+    p.add_argument("--force-init", action="store_true",
+                   help="run the supervised warm-start phases even after "
+                        "resuming a checkpoint (supervised continuation)")
     p.add_argument("--init-steps", type=int, default=500)
     p.add_argument("--full-steps", type=int, default=50)
     p.add_argument("--n-envs", type=int, default=None)
@@ -155,6 +158,14 @@ def main():
         # --iter 0 resumes from the saved warm-start checkpoint when one
         # exists (reference train_init saves checkpoint 0 for exactly this)
         agent.load_checkpoint(ckpt_path)
+        if args.force_init:
+            logger.info("supervised continuation (train_init on resume)...")
+            for tag, i, loss in agent.train_init(
+                    init_steps=args.init_steps, full_steps=args.full_steps,
+                    log_every=10):
+                logger.info(f"  {tag} step {i}: loss {loss:.4f}")
+            agent.save_checkpoint(
+                os.path.join(cfg.model_dir, f"iter_{agent.epoch:04d}.p"))
     elif not args.skip_init:
         logger.info("supervised warm start (train_init)...")
         for tag, i, loss in agent.train_init(

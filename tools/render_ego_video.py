@@ -157,6 +157,16 @@ def third_person_frames(qpos_seq, spec, obj_boxes):
     return np.stack(frames), np.asarray(boxes)
 
 
+def _standardize(x, mkey, skey):
+    """Per-dim standardization with the training-bank stats baked into the
+    encoder artifact (raw encoder outputs run at std ~4.4 with +-64
+    outliers, which drowns the O(1) kinematic context inputs)."""
+    enc = joblib.load("data_bank/of_encoder.pkl")
+    if isinstance(enc, dict) and mkey in enc:
+        return (x - enc[mkey]) / enc[skey]
+    return x
+
+
 def main():
     in_bank, out_bank = sys.argv[1], sys.argv[2]
     frames_dir = None
@@ -189,10 +199,12 @@ def main():
                          [(obj[i, :3], half, OBJ_SHADE[oname])])
             for i in range(len(q))])
         of = compute_of_features(frames, enc)
+        of = _standardize(of, "of_mean", "of_std")
         tp_frames, bboxes = third_person_frames(
             q[:: max(len(q) // 30, 1)], spec,
             [(obj[0, :3], half, OBJ_SHADE[oname])])
         pf = person(tp_frames[..., None].repeat(3, -1), bboxes)
+        pf = _standardize(pf, "pf_mean", "pf_std")
         out[name] = dict(t, of=of.astype(np.float32),
                          person_feat=pf.astype(np.float32))
         print(f"{name}: {len(q)} frames -> of {of.shape}, person {pf.shape}, "
