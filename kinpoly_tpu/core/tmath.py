@@ -31,6 +31,22 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
+def safe_norm(x: jax.Array, axis: int = -1, keepdims: bool = True,
+              eps: float = 1e-12) -> jax.Array:
+    """L2 norm with finite gradients everywhere.
+
+    ``jnp.linalg.norm(x)`` has a NaN vector-Jacobian product at ``x == 0``
+    (x/||x|| = 0/0) even when the caller clips the *result* before dividing;
+    the max-before-sqrt form makes the gradient exactly zero below ``eps``
+    instead. Every normalisation on the AR training path must use this: the
+    full-rollout supervised loss backprops through ~100 chained rotation ops
+    and a single NaN cotangent poisons the whole update (optax.zero_nans then
+    silently zeroes it — the round-4 use_of warm start was flat for 600 steps
+    because of exactly this)."""
+    n2 = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(n2, eps * eps))
+
+
 def quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Hamilton product a ⊗ b; shapes broadcast over leading dims, (..., 4)."""
     aw, ax, ay, az = jnp.split(a, 4, axis=-1)
@@ -57,7 +73,7 @@ def quat_inv(q: jax.Array) -> jax.Array:
 
 
 def quat_norm(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(eps)
+    return q / safe_norm(q, eps=eps)
 
 
 def quat_to_mat(q: jax.Array) -> jax.Array:
@@ -134,14 +150,15 @@ def quat_rot_vec_inv(q: jax.Array, v: jax.Array) -> jax.Array:
 
 def quat_about_axis(angle: jax.Array, axis: jax.Array) -> jax.Array:
     """Quaternion for rotation of `angle` about (not necessarily unit) axis."""
-    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True).clip(1e-12)
+    axis = axis / safe_norm(axis)
     half = angle[..., None] * 0.5
     return jnp.concatenate([jnp.cos(half), jnp.sin(half) * axis], axis=-1)
 
 
 def quat_from_expmap(e: jax.Array) -> jax.Array:
-    """Exponential map (axis*angle 3-vector) -> quaternion; safe at 0."""
-    angle = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    """Exponential map (axis*angle 3-vector) -> quaternion; safe at 0
+    (value AND gradient — see safe_norm)."""
+    angle = safe_norm(e)
     half = 0.5 * angle
     # sinc-based form: sin(a/2)/a, finite at a->0 (=1/2)
     k = jnp.where(angle < 1e-9, 0.5 * jnp.ones_like(angle), jnp.sin(half) / jnp.maximum(angle, 1e-9))
@@ -154,10 +171,15 @@ def rotation_from_quat(q: jax.Array) -> jax.Array:
     Matches reference ``rotation_from_quaternion``
     (``uhc/khrylib/utils/transformation.py:348``): near-identity quaternions
     return the zero vector.
+
+    The angle comes from atan2(||xyz||, w) rather than 2*acos(w): acos has an
+    infinite derivative at w = +-1, which is exactly where every frame-to-frame
+    relative rotation lives once the AR net starts tracking, and the inf
+    partial turns the masked where-branch cotangent into NaN.
     """
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    s = jnp.sqrt(jnp.maximum(1.0 - w * w, 1e-18))
-    angle = 2.0 * jnp.arccos(w)
+    s = safe_norm(q[..., 1:], eps=1e-9)
+    angle = 2.0 * jnp.arctan2(s, w)   # == 2*acos(w) for unit q, grad-safe
     small = (1.0 - jnp.abs(w)) < 1e-8
     axis = jnp.where(small, jnp.zeros_like(q[..., 1:]).at[..., 0].set(1.0), q[..., 1:] / s)
     return jnp.where(small, jnp.zeros_like(axis), axis * angle)
@@ -166,8 +188,8 @@ def rotation_from_quat(q: jax.Array) -> jax.Array:
 def rotation_from_quat_shortest(q: jax.Array) -> jax.Array:
     """Axis*angle with the angle wrapped to (-pi, pi] (shortest rotation)."""
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    s = jnp.sqrt(jnp.maximum(1.0 - w * w, 1e-18))
-    angle = 2.0 * jnp.arccos(w)
+    s = safe_norm(q[..., 1:], eps=1e-9)
+    angle = 2.0 * jnp.arctan2(s, w)
     angle = jnp.where(angle > math.pi, angle - 2.0 * math.pi, angle)
     small = (1.0 - jnp.abs(w)) < 1e-8
     axis = jnp.where(small, jnp.zeros_like(q[..., 1:]), q[..., 1:] / s)
@@ -181,18 +203,29 @@ def rotation_from_quat_shortest(q: jax.Array) -> jax.Array:
 
 def heading_q(q: jax.Array) -> jax.Array:
     """Zero out x/y imaginary parts and renormalise (no sign canonicalisation),
-    matching reference ``get_heading_q``."""
+    matching reference ``get_heading_q``. Degenerate quaternions (w = z = 0,
+    e.g. a prone pose, 180 deg about x) have no defined heading; they return
+    identity instead of 0/0 — the reference f64 code NaNs there too, this is
+    strictly more robust."""
     hq = q * jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=q.dtype)
-    return hq / jnp.linalg.norm(hq, axis=-1, keepdims=True).clip(1e-12)
+    n2 = jnp.sum(hq * hq, axis=-1, keepdims=True)
+    iden = jnp.zeros_like(hq).at[..., 0].set(1.0)
+    hq = jnp.where(n2 > 1e-12, hq, iden)
+    return hq / safe_norm(hq, eps=1e-6)
 
 
 def heading(q: jax.Array) -> jax.Array:
-    """Heading angle = 2*acos(w) of the sign-canonicalised (z>=0) heading
-    quaternion, in [0, 2pi); matches reference ``get_heading``."""
-    hq = q * jnp.asarray([1.0, 0.0, 0.0, 1.0], dtype=q.dtype)
-    hq = jnp.where(hq[..., 3:4] < 0, -hq, hq)
-    hq = hq / jnp.linalg.norm(hq, axis=-1, keepdims=True).clip(1e-12)
-    return 2.0 * jnp.arccos(jnp.clip(hq[..., 0], -1.0, 1.0))
+    """Heading (yaw) angle of the sign-canonicalised (z>=0) heading
+    quaternion, in [0, 2pi); matches reference ``get_heading``. Computed as
+    2*atan2(z, w), which equals 2*acos(w/||hq||) but has finite gradients at
+    zero heading (acos'(1) is infinite) and needs no normalisation."""
+    w, z = q[..., 0], q[..., 3]
+    sgn = jnp.where(z < 0, -1.0, 1.0)
+    w, z = sgn * w, sgn * z
+    deg = (w * w + z * z) <= 1e-12      # prone-like: heading undefined -> 0
+    w = jnp.where(deg, jnp.ones_like(w), w)
+    z = jnp.where(deg, jnp.zeros_like(z), z)
+    return 2.0 * jnp.arctan2(z, w)
 
 
 def de_heading(q: jax.Array) -> jax.Array:
@@ -317,9 +350,12 @@ def multi_quat_diff(nq1: jax.Array, nq0: jax.Array) -> jax.Array:
 
 
 def multi_quat_norm(nq: jax.Array) -> jax.Array:
-    """Rotation magnitude acos(|w|) per joint from flat (..., 4N) -> (..., N)."""
-    w = nq.reshape(nq.shape[:-1] + (-1, 4))[..., 0]
-    return jnp.arccos(jnp.clip(jnp.abs(w), -1.0, 1.0))
+    """Rotation magnitude acos(|w|) per joint from flat (..., 4N) -> (..., N).
+    atan2 form: equal for unit quaternions, finite gradient at identity
+    (acos'(1) is infinite and identity is the training fixed point)."""
+    q = nq.reshape(nq.shape[:-1] + (-1, 4))
+    s = safe_norm(q[..., 1:], keepdims=False, eps=1e-12)
+    return jnp.arctan2(s, jnp.abs(q[..., 0]))
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +374,7 @@ def qvel_fd(cur_qpos: jax.Array, next_qpos: jax.Array, dt: float) -> jax.Array:
     v = (next_qpos[..., :3] - cur_qpos[..., :3]) / dt
     qrel = quat_mul(next_qpos[..., 3:7], quat_inv(cur_qpos[..., 3:7]))
     axis_angle = rotation_from_quat(qrel)
-    angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    angle = safe_norm(axis_angle)
     wrapped = wrap_to_pi(angle)
     rv = jnp.where(angle > 1e-12, axis_angle * (wrapped / jnp.maximum(angle, 1e-12)), axis_angle) / dt
     rv = transform_vec(rv, cur_qpos[..., 3:7], "root")
@@ -365,9 +401,9 @@ def rot6d_to_mat(x: jax.Array) -> jax.Array:
     Gram-Schmidt as in Zhou et al. (reference ``transform_utils.py``):
     columns of the matrix are (b1, b2, b3)."""
     a1, a2 = x[..., 0:3], x[..., 3:6]
-    b1 = a1 / jnp.linalg.norm(a1, axis=-1, keepdims=True).clip(1e-8)
+    b1 = a1 / safe_norm(a1, eps=1e-8)
     b2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
-    b2 = b2 / jnp.linalg.norm(b2, axis=-1, keepdims=True).clip(1e-8)
+    b2 = b2 / safe_norm(b2, eps=1e-8)
     b3 = jnp.cross(b1, b2)
     return jnp.stack([b1, b2, b3], axis=-1)
 
