@@ -61,7 +61,12 @@ def build():
                                   "pallas_ltdl" if on_tpu else "ltdl"),
             use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS",
                                                    "1" if on_tpu else "0"))),
-            use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "0"))))
+            use_pallas_chol=bool(int(os.environ.get("BENCH_PALLAS_CHOL", "0"))),
+            # opt-in while being validated for the UHC env: top-K_h of the
+            # 18 candidate blocks (12 floor contacts + 6 joint limits);
+            # e.g. BENCH_COMPACT_UHC=14 -> 42 constraint rows instead of 54
+            compact_k=((int(os.environ["BENCH_COMPACT_UHC"]), 0)
+                       if os.environ.get("BENCH_COMPACT_UHC") else None))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)
 
@@ -143,7 +148,9 @@ def build_ar():
             solver=os.environ.get("BENCH_SOLVER",
                                   "pallas_ltdl" if on_tpu else "ltdl"),
             use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS",
-                                                   "1" if on_tpu else "0"))))
+                                                   "1" if on_tpu else "0"))),
+            compact_k=(None if os.environ.get("BENCH_NO_COMPACT")
+                       else (16, 8)))
         standing = joblib.load(STANDING)
         q = np.asarray(standing["qpos"], np.float32)
         rngn = np.random.RandomState(0)

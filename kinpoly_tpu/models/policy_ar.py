@@ -56,7 +56,12 @@ class ActionDeltaNet(nets.nn.Module):
     def setup(self):
         self.rnn = nets.nn.GRUCell(features=self.rnn_hdim)
         self.mlp = nets.MLP(self.mlp_hsize, self.htype)
-        self.fc = nets.nn.Dense(self.action_dim)
+        # zero-init the residual head: at the warm start the policy is then
+        # exactly the supervised AR rollout instead of AR + lecun noise on a
+        # 76-dim qpos (the reference uses a default-init Linear and relies on
+        # the noise being small; zero is the residual-policy standard)
+        self.fc = nets.nn.Dense(
+            self.action_dim, kernel_init=nets.nn.initializers.zeros_init())
 
     def __call__(self, carry, obs):
         action_ar = obs[..., -self.action_dim:]

@@ -125,6 +125,17 @@ class PhysicsModel:
     # multi-RHS solve and zero blocks in the Delassus build. False restores
     # the round-3 merged path (kept for the equivalence test).
     split_of: bool = True
+    # active-set compaction (round-4): per-env top-K gather of contact
+    # blocks BEFORE the fused mass solve / Delassus build / PSOR sweep.
+    # (K_h over humanoid-side blocks incl. joint limits, K_o over
+    # object-floor blocks). The AR env carries 36 candidate blocks (108
+    # rows) of which typically <20 are active at once; every downstream
+    # stage costs O(rows) to O(rows^2), so the gather cuts the dominant
+    # per-substep work while keeping shapes static for XLA. None disables
+    # (exact round-3 behaviour). NOTE: PSOR is sweep-order dependent, so
+    # even full-K compaction reorders the Gauss-Seidel sweep — converged
+    # forces match to solver tolerance, not bitwise.
+    compact_k: tuple | None = None
     # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
     # this stops the v^2 Coriolis feedback loop that can take a blown-up env
     # from ~1e2 to inf within one 15-substep control step (the reference
@@ -248,6 +259,62 @@ def integrate(qpos, qvel, dt):
     )
     hinge = qpos[..., 7:] + qvel[..., 6:] * dt
     return jnp.concatenate([pos, quat, hinge], axis=-1)
+
+
+def _compact_rows(compact_k, J, depth, active, friction, row_live,
+                  Jo, obj_rows):
+    """Active-set compaction: per-env top-K gather of contact blocks before
+    the fused mass solve, Delassus build, and PSOR sweep.
+
+    Block layout (split-OF): depth/active/friction hold n_hb humanoid-side
+    blocks (contacts + joint limits, the rows of J) followed by n_ob
+    object-floor blocks (no humanoid rows). The humanoid and object-floor
+    pools are compacted independently so the [humanoid rows | object rows]
+    structure that contact_forces relies on survives. Selection is by
+    (active, depth): actives first, deepest first; inactive blocks that fill
+    spare slots are force-zeroed by the solver exactly as before. All gathers
+    are take_along_axis with static output shapes — per-env dynamic content,
+    XLA-static shapes.
+    """
+    K_h, K_o = compact_k
+    n_hb = J.shape[-2] // 3
+    n_ob = depth.shape[-1] - n_hb
+    K_h = min(K_h, n_hb)
+    K_o = min(K_o, n_ob)
+
+    def top_idx(d, a, k):
+        # actives dominate (depth is O(1e-2) m); deepest actives first
+        score = a.astype(d.dtype) * 1e3 + d
+        return jax.lax.top_k(score, k)[1]                  # (..., k)
+
+    idx_h = top_idx(depth[..., :n_hb], active[..., :n_hb], K_h)
+    if K_o:
+        idx_o = n_hb + top_idx(depth[..., n_hb:], active[..., n_hb:], K_o)
+        idx = jnp.concatenate([idx_h, idx_o], axis=-1)     # (..., K_h+K_o)
+    else:
+        idx = idx_h
+
+    def g1(x):                                             # (..., n_blocks)
+        return jnp.take_along_axis(x, idx, axis=-1)
+
+    def g3(x, ix):                                         # (..., 3*nb, d)
+        xb = x.reshape(x.shape[:-2] + (-1, 3, x.shape[-1]))
+        out = jnp.take_along_axis(xb, ix[..., None, None], axis=-3)
+        return out.reshape(out.shape[:-3] + (-1, x.shape[-1]))
+
+    J = g3(J, idx_h)
+    depth, friction = g1(depth), g1(friction)
+    active = jnp.take_along_axis(active, idx, axis=-1)
+    if row_live is not None:
+        tab = row_live.reshape(-1, 3)                      # static (nb, 3)
+        row_live = tab[idx].reshape(idx.shape[:-1] + (-1,))
+    if Jo is not None:
+        Jo = g3(Jo, idx)
+        orb = obj_rows.reshape(obj_rows.shape[:-1] + (-1, 3))
+        obj_rows = jnp.take_along_axis(
+            orb, idx[..., None], axis=-2
+        ).reshape(idx.shape[:-1] + (-1,))
+    return J, depth, active, friction, row_live, Jo, obj_rows
 
 
 def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
@@ -385,19 +452,11 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
                     [row_live,
                      jnp.ones(3 * fcs.depth.shape[-1], bool)], axis=-1)
 
-        # one fused multi-RHS solve: [tau - C, J^T] -> [qacc_smooth, M^-1 J^T];
-        # the constraint acceleration is then MiJt @ f — no extra back-solve
-        B = jnp.concatenate(
-            [(tau - C)[..., None], jnp.swapaxes(J, -1, -2)], axis=-1)
-        X = solve_M(B)
-        qacc = X[..., 0]
-        MiJt = X[..., 1:]
-
-        # movable-object coupling: the constraint rows also see the objects'
-        # free 6-dof motion. A gains the object-side Delassus block
-        # J_o M_o^-1 J_o^T (per object), rows gain the object point velocity
-        # and smooth (gravity + gyroscopic) acceleration.
-        A_extra = vel_extra = acc_extra = None
+        # object-side Jacobian rows, built BEFORE the mass solve so the
+        # active-set compaction below can gather them together with J; the
+        # Delassus/coupling terms are computed on the (possibly compacted)
+        # rows further down.
+        Jo = obj_rows = None
         if movable:
             od = model.obj_dyn
             n_obj = len(od.mass)
@@ -421,6 +480,25 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
                 Jo = jnp.concatenate([Jo, Jo_f], axis=-2)
                 obj_rows = jnp.concatenate([obj_rows, obj_rows_f], axis=-1)
 
+        if model.compact_k is not None:
+            (J, depth, active, friction, row_live, Jo, obj_rows) = \
+                _compact_rows(model.compact_k, J, depth, active, friction,
+                              row_live, Jo, obj_rows)
+
+        # one fused multi-RHS solve: [tau - C, J^T] -> [qacc_smooth, M^-1 J^T];
+        # the constraint acceleration is then MiJt @ f — no extra back-solve
+        B = jnp.concatenate(
+            [(tau - C)[..., None], jnp.swapaxes(J, -1, -2)], axis=-1)
+        X = solve_M(B)
+        qacc = X[..., 0]
+        MiJt = X[..., 1:]
+
+        # movable-object coupling: the constraint rows also see the objects'
+        # free 6-dof motion. A gains the object-side Delassus block
+        # J_o M_o^-1 J_o^T (per object), rows gain the object point velocity
+        # and smooth (gravity + gyroscopic) acceleration.
+        A_extra = vel_extra = acc_extra = None
+        if movable:
             onehot = (obj_rows[..., None] == jnp.arange(n_obj)).astype(dtype)
             K_lin = Jo[..., :3] * jnp.einsum("...rn,n->...r", onehot, minv)[..., None]
             Iwi_r = jnp.einsum("...rn,...nij->...rij", onehot, Iw_inv)

@@ -62,7 +62,8 @@ def main():
         spec = parse_humanoid(
             "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all_step.xml")
         model = eng.build_model(spec, uhc_control_params(spec),
-                                with_objects=True, movable_objects=True)
+                                with_objects=True, movable_objects=True,
+                                compact_k=(16, 8))
         if args.data:
             takes = statear.load_annotations(args.data, spec=spec)
         else:

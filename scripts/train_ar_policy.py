@@ -56,6 +56,9 @@ def main():
     p.add_argument("--iter", type=int, default=0)
     p.add_argument("--max-epochs", type=int, default=None)
     p.add_argument("--skip-init", action="store_true")
+    p.add_argument("--no-compact", action="store_true",
+                   help="disable contact active-set compaction (exact "
+                        "round-3 constraint-row layout, for A/B checks)")
     p.add_argument("--force-init", action="store_true",
                    help="run the supervised warm-start phases even after "
                         "resuming a checkpoint (supervised continuation)")
@@ -105,7 +108,8 @@ def main():
         model = eng.build_model(spec, uhc_control_params(spec),
                                 with_objects=True, movable_objects=True,
                                 solver="pallas_ltdl" if on_tpu else "ltdl",
-                                use_pallas_pgs=on_tpu)
+                                use_pallas_pgs=on_tpu,
+                                compact_k=None if args.no_compact else (16, 8))
 
         if args.data:
             takes = statear.load_annotations(args.data, spec=spec)
