@@ -44,6 +44,16 @@ while [ ! -f /tmp/TPU_QUEUE_STOP ]; do
   fi
   touch /tmp/UHC_R4_DONE
 
+  # stage 1.5: capture the VERDICT-#2 gate evidence once (TPU eval of the
+  # hardened checkpoint on clips70: getup/step tracked + coverage_det)
+  if [ ! -f docs/eval_uhc_r4_iter11000.txt ]; then
+    echo "$(date +%T) stage1.5: eval_uhc iter 11000 on clips70" >> "$W"
+    PYTHONPATH=/root/.axon_site timeout 5400 \
+      python scripts/eval_uhc.py --iter 11000 --data data_bank/clips70.pkl \
+        --metrics --seeds 3 > docs/eval_uhc_r4_iter11000.txt 2>&1 \
+      || echo "$(date +%T) stage1.5 failed rc=$?" >> "$W"
+  fi
+
   AR_LAST=$(latest_iter "$AR_MODELS" 0)
   if [ "$AR_LAST" -ge 20000 ]; then
     echo "$(date +%T) stage2 at epoch cap — queue done" >> "$W"
