@@ -196,6 +196,10 @@ def build_ar():
     carry = jax.device_put(carry, dev)
     params = jax.device_put(agent.params, dev)
     ctx = jax.device_put(ctx, dev)
+    # component profilers (tools/profile_ar_substep.py) need the live env /
+    # policy objects, not just the fused iteration fn
+    global _AR_ENV, _AR_POLICY
+    _AR_ENV, _AR_POLICY = env, agent.policy
     return fn, carry, params, ctx, model
 
 

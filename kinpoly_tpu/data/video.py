@@ -102,8 +102,10 @@ class FlowFeatureEncoder:
 
         self.net = ResNet18(out_dim=feature_dim)
         if params is None and feature_dim == 512 and os.path.exists(self.PRETRAINED):
-            with open(self.PRETRAINED, "rb") as f:
-                params = pickle.load(f)["params"]
+            # the artifact is joblib-written (may be compressed — plain
+            # pickle.load chokes on the zlib header); joblib reads both
+            import joblib
+            params = joblib.load(self.PRETRAINED)["params"]
         dummy = jnp.zeros((1, 64, 64, 2), jnp.float32)
         self.params = params or self.net.init(jax.random.PRNGKey(rng_seed), dummy)
         self._apply = jax.jit(lambda p, x: self.net.apply(p, x))

@@ -37,6 +37,7 @@ from kinpoly_tpu.models.traj_ar import (ClipData, TrajARNet, compute_loss,
                                         compute_loss_init)
 from kinpoly_tpu.rl import gae, rollout_ar as roa
 from kinpoly_tpu.physics import fk as fklib
+from kinpoly_tpu.utils.liveness import grad_nonfinite_fraction
 
 
 @dataclass
@@ -158,6 +159,10 @@ class AgentAR:
             return loss, info
 
         (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # silent-freeze guard: zero_nans in sup_opt discards whole leaves on
+        # NaN; count them so the metrics stream shows a frozen update as a
+        # hot nan_frac instead of a quietly flat loss (round-4 c5e5efd class)
+        info = dict(info, grad_nan_frac=grad_nonfinite_fraction(g))
         updates, opt_state = self.sup_opt.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, info
 
@@ -172,27 +177,30 @@ class AgentAR:
             return loss, info
 
         (loss, info), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        info = dict(info, grad_nan_frac=grad_nonfinite_fraction(g))
         updates, opt_state = self.sup_opt.update(g, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss, info
 
     def train_init(self, init_steps: int = 500, full_steps: int = 50,
                    gt_rate: float = 0.3, log_every: int = 50):
         """Supervised warm start (agent_ar.train_init:366). Yields
-        (phase, step, loss) as it goes (on tunneled TPUs each step pays a
-        host->device batch upload, so live progress matters)."""
+        (phase, step, loss, grad_nan_frac) as it goes (on tunneled TPUs each
+        step pays a host->device batch upload, so live progress matters).
+        grad_nan_frac is the fraction of gradient leaves zero_nans discarded
+        this step — the silent-freeze detector (utils/liveness.py)."""
         for i in range(init_steps):
             batch = self._get_batch(self.cfg.batch_size)
-            self.params, self.sup_opt_state, loss, _ = self._jit_init_sup(
+            self.params, self.sup_opt_state, loss, info = self._jit_init_sup(
                 self.params, self.sup_opt_state, batch)
             if i % log_every == 0:
-                yield ("init", i, float(loss))
+                yield ("init", i, float(loss), float(info["grad_nan_frac"]))
         for i in range(full_steps):
             batch = self._get_batch(self.cfg.batch_size)
             self.rng, k = jax.random.split(self.rng)
-            self.params, self.sup_opt_state, loss, _ = self._jit_full_sup(
+            self.params, self.sup_opt_state, loss, info = self._jit_full_sup(
                 self.params, self.sup_opt_state, batch, k, gt_rate)
             if i % log_every == 0:
-                yield ("full", i, float(loss))
+                yield ("full", i, float(loss), float(info["grad_nan_frac"]))
 
     # ------------------------------------------------------------------
     # context building
@@ -345,22 +353,26 @@ class AgentAR:
 
                 loss, g = jax.value_and_grad(loss_fn)(params)
                 g = _pg(g)
+                nan_frac = grad_nonfinite_fraction(g)
                 updates, opt_state = self.sup_opt.update(g, opt_state)
-                return (optax.apply_updates(params, updates), opt_state), loss
+                return ((optax.apply_updates(params, updates), opt_state),
+                        (loss, nan_frac))
 
             return bc_epoch
 
         sup_state = sup_opt_state
         bc_losses = jnp.zeros((1,))
+        bc_nan_fracs = jnp.zeros((1,))
         if cfg.step_update and not cfg.grad_joint:
-            (params, sup_state), bc_losses = jax.lax.scan(
+            (params, sup_state), (bc_losses, bc_nan_fracs) = jax.lax.scan(
                 make_bc_epoch(traj.gt_qpos), (params, sup_state), None,
                 length=cfg.num_step_update)
         if cfg.step_update_dyna:
-            (params, sup_state), dyna_losses = jax.lax.scan(
+            (params, sup_state), (dyna_losses, dyna_nf) = jax.lax.scan(
                 make_bc_epoch(traj.res_qpos), (params, sup_state), None,
                 length=cfg.num_step_update)
             bc_losses = jnp.concatenate([bc_losses, dyna_losses])
+            bc_nan_fracs = jnp.concatenate([bc_nan_fracs, dyna_nf])
 
         # joint_controller: PPO surrogate on the UHC policy over the recorded
         # (cc_state, cc_action) transitions with the same advantages
@@ -407,6 +419,9 @@ class AgentAR:
             ratio_dev=ratio_devs.mean(),       # mean |ratio - 1| over epochs
             ppo_grad_norm=pgnorms.mean(),
             adv_std=adv.std(),
+            # silent-freeze detector: fraction of BC gradient leaves that
+            # zero_nans discarded (mean over the supervised epochs)
+            bc_nan_frac=bc_nan_fracs.mean(),
         )
         return (params, value_params, pol_opt_state, val_opt_state, sup_state,
                 carry, metrics, traj.percents, traj.clips, traj.masks == 0,

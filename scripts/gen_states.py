@@ -33,6 +33,10 @@ def main():
     p.add_argument("--steps", type=int, default=64)
     p.add_argument("--rounds", type=int, default=4)
     p.add_argument("--max-states", type=int, default=4096)
+    p.add_argument("--min-z", type=float, default=0.3,
+                   help="pelvis-height floor for kept states; use ~0.05 "
+                        "when mining supine/get-up failures (the default "
+                        "would filter out exactly those)")
     p.add_argument("--out", default="data_bank/hard_states.pkl")
     args = p.parse_args()
 
@@ -88,7 +92,7 @@ def main():
         q = np.asarray(traj.qpos)[fails]                   # (n_f, 76)
         v = np.asarray(traj.qvel)[fails]
         keep = (np.isfinite(q).all(1) & np.isfinite(v).all(1)
-                & (q[:, 2] > 0.3) & (np.abs(v).max(1) < 25.0))
+                & (q[:, 2] > args.min_z) & (np.abs(v).max(1) < 25.0))
         hard_q.append(q[keep])
         hard_v.append(v[keep])
         logger.info(f"round {r}: {int(fails.sum())} failure steps, "

@@ -156,6 +156,28 @@ def main():
         tc = tc.__class__(**{**tc.__dict__, "step_update_dyna": True})
     if args.no_rl_update:
         tc = tc.__class__(**{**tc.__dict__, "rl_update": False})
+    from kinpoly_tpu.utils.liveness import (NAN_FRAC_WARN,
+                                            check_supervised_liveness)
+
+    def run_train_init():
+        """Drive the warm start with the silent-freeze watchdog: per-phase
+        loss curves must actually drop (liveness check), and any step where
+        zero_nans discards gradient leaves is warned about loudly
+        (round-4 c5e5efd failure class)."""
+        phases = {}
+        for tag, i, loss, nan_frac in agent.train_init(
+                init_steps=args.init_steps, full_steps=args.full_steps,
+                log_every=10):
+            phases.setdefault(tag, ([], []))
+            phases[tag][0].append(loss)
+            phases[tag][1].append(nan_frac)
+            extra = (f"  [WARN zero_nans hit {nan_frac:.0%} of grad leaves]"
+                     if nan_frac > NAN_FRAC_WARN else "")
+            logger.info(f"  {tag} step {i}: loss {loss:.4f}{extra}")
+        for tag, (losses, nfs) in phases.items():
+            check_supervised_liveness(losses, phase=f"train_init/{tag}",
+                                      nan_fracs=nfs)
+
     agent = AgentAR(env, dataset, tc, out_dir=cfg.model_dir)
     ckpt_path = os.path.join(cfg.model_dir, f"iter_{args.iter:04d}.p")
     if args.iter > 0 or os.path.exists(ckpt_path):
@@ -164,18 +186,12 @@ def main():
         agent.load_checkpoint(ckpt_path)
         if args.force_init:
             logger.info("supervised continuation (train_init on resume)...")
-            for tag, i, loss in agent.train_init(
-                    init_steps=args.init_steps, full_steps=args.full_steps,
-                    log_every=10):
-                logger.info(f"  {tag} step {i}: loss {loss:.4f}")
+            run_train_init()
             agent.save_checkpoint(
                 os.path.join(cfg.model_dir, f"iter_{agent.epoch:04d}.p"))
     elif not args.skip_init:
         logger.info("supervised warm start (train_init)...")
-        for tag, i, loss in agent.train_init(
-                init_steps=args.init_steps, full_steps=args.full_steps,
-                log_every=10):
-            logger.info(f"  {tag} step {i}: loss {loss:.4f}")
+        run_train_init()
         # reference agent_ar.train_init saves checkpoint 0 after the warm
         # start; lets a later run resume with --iter 0 and skip it
         if cfg.model_dir:
@@ -191,11 +207,14 @@ def main():
     for i in range(agent.epoch, max_epochs):
         m = agent.optimize_policy()
         mlog.log(i, m)
+        nan_warn = (f"  [WARN zero_nans hit {m['bc_nan_frac']:.0%} of BC "
+                    f"grad leaves]"
+                    if m.get("bc_nan_frac", 0) > NAN_FRAC_WARN else "")
         logger.info(
             f"epoch {i}  R {m['reward_mean']:.4f}  bc {m['bc_loss']:.4f}  "
             f"ppo {m['ppo_loss']:.4f}  fail {m['fail_frac']:.3f}  "
             f"|r-1| {m.get('ratio_dev', 0):.4f}  pg {m.get('ppo_grad_norm', 0):.2f}  "
-            f"advs {m.get('adv_std', 0):.3f}  T {m['T_iter']:.2f}s")
+            f"advs {m.get('adv_std', 0):.3f}  T {m['T_iter']:.2f}s{nan_warn}")
     # short runs end between save_model_interval marks; keep the last epoch
     if cfg.model_dir and agent.epoch % cfg.train_config().save_model_interval != 0:
         logger.info(f"saved final checkpoint {agent.save_checkpoint()}")

@@ -38,6 +38,12 @@ def main():
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--n-envs", type=int, default=None)
     p.add_argument("--rollout-steps", type=int, default=None)
+    p.add_argument("--hard-states", default=None,
+                   help="hard-negative init bank from scripts/gen_states.py "
+                        "({'qpos': (K,76), 'qvel': (K,75)}); enables "
+                        "reactive_v=2 resets (reference reactive init, "
+                        "humanoid_im.py:574-623)")
+    p.add_argument("--reactive-rate", type=float, default=None)
     p.add_argument("--out", default="results")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the tunneled TPU plugin is "
@@ -89,9 +95,23 @@ def main():
                                  dt=model.control_dt, pad_to=t_max)
                  for t in takes.values()]
         bank = exlib.stack_bank(clips)
-        env = HumanoidImEnv(model, cfg.env_config(), bank,
+        env_cfg = cfg.env_config()
+        hard_states = None
+        if args.hard_states:
+            hs = joblib.load(args.hard_states)
+            hard_states = (np.asarray(hs["qpos"], np.float32),
+                           np.asarray(hs["qvel"], np.float32))
+            env_cfg = env_cfg.__class__(**{**env_cfg.__dict__,
+                                           "reactive_v": 2})
+            logger.info(f"reactive_v=2 with {len(hard_states[0])} hard "
+                        f"states from {args.hard_states}")
+        if args.reactive_rate is not None:
+            env_cfg = env_cfg.__class__(
+                **{**env_cfg.__dict__, "reactive_rate": args.reactive_rate})
+        env = HumanoidImEnv(model, env_cfg, bank,
                             np.asarray(standing["qpos"], np.float32),
-                            np.asarray(standing["qvel"], np.float32))
+                            np.asarray(standing["qvel"], np.float32),
+                            hard_states=hard_states)
 
     agent = UHCAgent(env, tc, out_dir=cfg.model_dir)
     if args.iter > 0:
@@ -117,6 +137,12 @@ def main():
                      prefix="eval/")
             logger.info(f"iter {i}  coverage {cov:.3f}  "
                         f"mean tracked {float(detail['percent'].mean()):.1%}")
+    # runs ending between save_model_interval marks must still leave a
+    # checkpoint (the queue runner resumes from the latest iter_*.p; found
+    # by the round-5 queue dry-run)
+    if cfg.model_dir and agent.epoch % agent.cfg.save_model_interval != 0:
+        agent.save_checkpoint()
+        logger.info(f"saved final checkpoint iter_{agent.epoch:04d}.p")
 
 
 if __name__ == "__main__":

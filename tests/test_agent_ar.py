@@ -82,7 +82,7 @@ def test_ar_env_reset_step():
 def test_agent_ar_train_init_reduces_loss():
     agent = make_setup()
     logs = agent.train_init(init_steps=30, full_steps=6, log_every=5)
-    init_losses = [l for tag, i, l in logs if tag == "init"]
+    init_losses = [l for tag, i, l, _nf in logs if tag == "init"]
     assert init_losses[-1] < init_losses[0], init_losses
     assert all(np.isfinite(init_losses))
 
@@ -143,8 +143,8 @@ def test_agent_ar_use_of_policy_v2():
     agent = AgentAR(env, ds, cfg)
     assert set(agent.params) == {"arnet", "delta"}
 
-    losses = [l for _, _, l in agent.train_init(init_steps=4, full_steps=2,
-                                                log_every=1)]
+    losses = [l for _, _, l, _ in agent.train_init(init_steps=4, full_steps=2,
+                                                   log_every=1)]
     assert all(np.isfinite(losses)), losses
     out = agent.optimize_policy()
     for k, v in out.items():

@@ -293,10 +293,10 @@ def make_walk(seed, dist=2.4, detour=0.0, can_at=None, duration=5.0):
     return q.astype(np.float32), T
 
 
-def make_avoid(seed, side=1.0):
+def make_avoid(seed, side=1.0, can_y_base=1.25, detour=0.62):
     r = np.random.RandomState(seed)
-    can_y = 1.25 + r.uniform(-0.1, 0.1)
-    q, T = make_walk(seed, dist=2.4, detour=0.62 * side, can_at=can_y)
+    can_y = can_y_base + r.uniform(-0.1, 0.1)
+    q, T = make_walk(seed, dist=2.4, detour=detour * side, can_at=can_y)
     q = fix_floor(q)
     can = static_obj((base[0], base[1] + can_y), CAN_Z, T)
     return q, can, "avoid"
@@ -307,12 +307,12 @@ def make_avoid(seed, side=1.0):
 # ---------------------------------------------------------------------------
 
 
-def make_step(seed, lead_left=True):
+def make_step(seed, lead_left=True, fwd_base=0.62):
     # box front face 0.33 m ahead of the start toes; the lead foot plants on
     # the box top while the trail leg is still on the floor, then the trail
     # leg swings up bent (clearing the box front) as the root rises
     r = np.random.RandomState(seed)
-    fwd = 0.62 + r.uniform(-0.03, 0.03)
+    fwd = fwd_base + r.uniform(-0.03, 0.03)
     L = "L" if lead_left else "R"
     T_ = "R" if lead_left else "L"
     lead_up = {(f"{L}_Hip", 2): -1.3, (f"{L}_Knee", 2): 2.05}  # heel tucked

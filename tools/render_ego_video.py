@@ -16,7 +16,13 @@ third-person camera additionally exercises the person-crop branch
 reference's SPIN feature pipeline (kin_poly/data_process/
 feature_extractor.py); those features are saved as `person_feat`.
 
-  python tools/render_ego_video.py IN_BANK OUT_BANK [--frames-dir DIR]
+  python tools/render_ego_video.py IN_BANK OUT_BANK [--frames-dir DIR] \
+      [--cam-noise SIGMA]
+
+--cam-noise adds per-frame camera jitter (position sigma SIGMA meters,
+orientation sigma 2*SIGMA rad about a random axis) to the egocentric
+camera — head-mount shake the real GoPro footage has and the clean
+raycast otherwise lacks (round-5 wild-bank requirement).
 
 Camera convention (measured from the head body quat of the standing pose):
 forward = head-local +z, up = head-local +y.
@@ -167,12 +173,36 @@ def _standardize(x, mkey, skey):
     return x
 
 
+def _rot_axis_angle(axis, ang):
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+
+def jitter_camera(cam_pos, Rcams, sigma, rng):
+    """Per-frame head-mount shake: AR(1)-correlated position offsets
+    (sigma meters) + small random rotations (2*sigma rad)."""
+    T = len(cam_pos)
+    dp = np.zeros((T, 3))
+    for t in range(1, T):
+        dp[t] = 0.8 * dp[t - 1] + rng.normal(0, sigma, 3)
+    R2 = np.empty_like(Rcams)
+    for t in range(T):
+        R2[t] = _rot_axis_angle(rng.normal(size=3),
+                                rng.normal(0, 2 * sigma)) @ Rcams[t]
+    return cam_pos + dp, R2
+
+
 def main():
     in_bank, out_bank = sys.argv[1], sys.argv[2]
     frames_dir = None
     if "--frames-dir" in sys.argv:
         frames_dir = sys.argv[sys.argv.index("--frames-dir") + 1]
         os.makedirs(frames_dir, exist_ok=True)
+    cam_noise = (float(sys.argv[sys.argv.index("--cam-noise") + 1])
+                 if "--cam-noise" in sys.argv else 0.0)
 
     from kinpoly_tpu.data.video import (FlowFeatureEncoder,
                                         PersonFeatureExtractor,
@@ -194,6 +224,10 @@ def main():
         oname = ACTION_OBJECT_NAMES.get(action, "chair")
         half = np.asarray(OBJ_HALF[oname])
         cam_pos, Rcams = head_camera(q, spec)
+        if cam_noise > 0:
+            cam_pos, Rcams = jitter_camera(
+                cam_pos, Rcams, cam_noise,
+                np.random.RandomState(abs(hash(name)) % (2 ** 31)))
         frames = np.stack([
             render_frame(cam_pos[i], Rcams[i],
                          [(obj[i, :3], half, OBJ_SHADE[oname])])
