@@ -239,16 +239,28 @@ class StateARDataset:
                         length=np.asarray(lengths, np.int32),
                         take_idx=np.asarray(take_ids, np.int32))
 
-    def whole_take(self, i: int, use_of: bool = False) -> ClipData:
+    def whole_take(self, i: int, use_of: bool = False,
+                   pad_to: int | None = None) -> ClipData:
+        """pad_to: edge-repeat every time axis to a common length so takes
+        of different durations batch together (the true duration stays in
+        `length`; padded frames never count as tracked)."""
         t = self.takes[i]
+
+        def p(x):
+            T = x.shape[0]
+            if pad_to is None or T >= pad_to:
+                return x[None]
+            pad = np.repeat(x[-1:], pad_to - T, axis=0)
+            return np.concatenate([x, pad], axis=0)[None]
+
         return ClipData(
-            qpos=t["qpos"][None], qvel=t["qvel"][None], wbpos=t["wbpos"][None],
-            head_pose=t["head_pose"][None], head_vels=t["head_vels"][None],
-            obj_pose=obj_pose14(t["obj_pose"])[None],
-            obj_head_relative_poses=t["obj_head_relative_poses"][None, :, :7],
-            action_one_hot=t["action_one_hot"][None],
-            target=t["target"][None],
-            of=t["of"][None] if use_of and "of" in t else None,
+            qpos=p(t["qpos"]), qvel=p(t["qvel"]), wbpos=p(t["wbpos"]),
+            head_pose=p(t["head_pose"]), head_vels=p(t["head_vels"]),
+            obj_pose=p(obj_pose14(t["obj_pose"])),
+            obj_head_relative_poses=p(t["obj_head_relative_poses"][:, :7]),
+            action_one_hot=p(t["action_one_hot"]),
+            target=p(t["target"]),
+            of=p(t["of"]) if use_of and "of" in t else None,
             length=np.asarray([t["qpos"].shape[0]], np.int32),
             take_idx=np.asarray([i], np.int32),
         )

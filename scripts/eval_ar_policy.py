@@ -101,8 +101,9 @@ def main():
     else:
         logger.info(f"checkpoint {ckpt} not found; evaluating fresh params")
 
-    # whole-take contexts
-    batches = [dataset.whole_take(i, use_of=cfg.use_of)
+    # whole-take contexts (edge-padded to the longest take: wild banks mix
+    # durations by construction — round-5 time-stretched generator)
+    batches = [dataset.whole_take(i, use_of=cfg.use_of, pad_to=T_max)
                for i in range(dataset.n_takes)]
     batch = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *batches)
     ctx = agent._jit_build_ctx(agent.params, batch, True)
@@ -138,6 +139,9 @@ def main():
     for i in range(n):
         done_steps = np.nonzero(masks[:, i] == 0)[0]
         end = int(done_steps[0]) + 1 if len(done_steps) else masks.shape[0]
+        # padded frames past the take's true duration are not part of the
+        # episode (metrics/GT comparison stop at length-1 transitions)
+        end = min(end, int(batch.length[i]) - 1)
         percent = float(percents[end - 1, i])
         fs_count = int(fails[:end, i].sum())
         pred = res_qpos[:end, i]

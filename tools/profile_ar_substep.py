@@ -30,6 +30,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# PROF_CPU=1 forces the CPU backend: the session sitecustomize pre-registers
+# the tunneled TPU before JAX_PLATFORMS is read, so the env var alone is NOT
+# enough — a "CPU" run would silently share the TPU tunnel with whatever
+# else is using it
+if os.environ.get("PROF_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 REPS = int(os.environ.get("BENCH_REPS", "8"))
 RESULTS = {}
 

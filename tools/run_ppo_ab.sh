@@ -12,18 +12,21 @@
 #
 # Usage: tools/run_ppo_ab.sh [epochs] [--cpu]
 #   AB_N_ENVS=32 (default; 1-core CPU box) — raise to 128 on TPU
+#   AB_SRC / AB_UHC / AB_OUT override the warm start / controller / out root
+#   (round 5 defaults: the post-fix results_r5 warm start + hardened UHC)
 # One TPU job at a time — arms run sequentially.
 set -e
 cd "$(dirname "$0")/.."
 EPOCHS=${1:-50}
 DEV=${2:-}
 N_ENVS=${AB_N_ENVS:-32}
-UHC=results/motion_im/uhc/models/iter_8000.p
-BANK=data_bank/ar_train_56.pkl
-SRC=results_r4/statear/kin_poly/models/iter_0000.p
+UHC=${AB_UHC:-results/motion_im/uhc/models/iter_11000.p}
+BANK=${AB_BANK:-data_bank/ar_train_56.pkl}
+SRC=${AB_SRC:-results_r5/statear/kin_poly/models/iter_0000.p}
+OUTROOT=${AB_OUT:-results_r5}
 
 for ARM in on off; do
-  OUT=results_r4/ab_rl_${ARM}
+  OUT=$OUTROOT/ab_rl_${ARM}
   mkdir -p "$OUT/statear/kin_poly/models"
   cp "$SRC" "$OUT/statear/kin_poly/models/iter_0000.p"
   EXTRA=""
@@ -35,5 +38,5 @@ for ARM in on off; do
     --out "$OUT" 2>&1 | tee /tmp/ab_rl_${ARM}.log | grep -E "epoch|saved"
 done
 python tools/ppo_ab_report.py \
-  results_r4/ab_rl_on/statear/kin_poly/models/ar_kin_poly_metrics.jsonl \
-  results_r4/ab_rl_off/statear/kin_poly/models/ar_kin_poly_metrics.jsonl 10
+  "$OUTROOT"/ab_rl_on/statear/kin_poly/models/ar_kin_poly_metrics.jsonl \
+  "$OUTROOT"/ab_rl_off/statear/kin_poly/models/ar_kin_poly_metrics.jsonl 10

@@ -51,7 +51,7 @@ else
   W=/tmp/tpu_watch_r5.log
   UHC_OUT=results
   AR_OUT=results_r5
-  UHC_TARGET=11000
+  UHC_TARGET=13000   # stage-1 result: 8000->11000 (clips70) + 11000->13000 (reactive_v=2 + supine hard-states)
   DEV=""
   UHC_ARGS="--n-envs 512"
   AR_ARGS="--init-steps 500 --full-steps 300 --n-envs 128 --rollout-steps 100"
