@@ -25,8 +25,20 @@ REPS = int(os.environ.get("REPS", "20"))
 
 spec = parse_humanoid(
     "/root/reference/assets/mujoco_models/humanoid_smpl_neutral_mesh_all.xml")
-model = eng.build_model(spec, uhc_control_params(spec))
+# SOLVER_PALLAS=1 profiles the production kernel path (pallas LTDL + PSOR) —
+# the configuration whose 8192-env dip (scaling_r3.json) needs attribution
+_kw = (dict(solver="pallas_ltdl", use_pallas_pgs=True)
+       if os.environ.get("SOLVER_PALLAS") else {})
+model = eng.build_model(spec, uhc_control_params(spec), **_kw)
 tables, topo = model.tables, model.topo
+
+if model.solver == "pallas_ltdl":
+    from kinpoly_tpu.physics import pallas_ltdl as pltdl
+    _factor = pltdl.make_vmappable_factor(topo)
+    _solve1 = lambda Rf, b: pltdl.make_vmappable_solve(topo)(Rf, b[..., None])[..., 0]
+else:
+    _factor = lambda R: ltdl.factor(topo, R)
+    _solve1 = lambda Rf, b: ltdl.solve(topo, Rf, b)
 
 rng = np.random.RandomState(0)
 standing = joblib.load("/root/reference/sample_data/standing_neutral.pkl")
@@ -90,9 +102,9 @@ def s_factors(q, v):
     kd = jnp.concatenate([jnp.zeros((BATCH, 6), q.dtype),
                           jnp.broadcast_to(jnp.asarray(model.ctrl.jkd, q.dtype),
                                            (BATCH, 69))], -1)
-    Rf_A = ltdl.factor(topo, ltdl.add_diag(topo, R, kd * model.dt))
-    Rf_M = ltdl.factor(topo, R)
-    x = ltdl.solve(topo, Rf_A, C)
+    Rf_A = _factor(ltdl.add_diag(topo, R, kd * model.dt))
+    Rf_M = _factor(R)
+    x = _solve1(Rf_A, C)
     return Rf_M[..., 0] + x
 
 

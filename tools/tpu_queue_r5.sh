@@ -76,7 +76,9 @@ latest_iter() {  # latest_iter <dir> <default>
 
 probe_ok() {
   [ "$DRY" = 1 ] && return 0
-  bash tools/tpu_probe.sh 90 >> "$W" 2>&1
+  # 300s: a healthy-but-cold tunnel can take >90s to init (an on-chip
+  # profile ran fine at 04:25 while the 90s probe was calling DOWN)
+  bash tools/tpu_probe.sh 300 >> "$W" 2>&1
 }
 
 while [ ! -f /tmp/TPU_QUEUE_STOP ]; do
@@ -101,6 +103,31 @@ while [ ! -f /tmp/TPU_QUEUE_STOP ]; do
         --iter "$UHC_TARGET" --data "$UHC_BANK" --out "$UHC_OUT" \
         --metrics --seeds "$EVAL_SEEDS" > "$EVAL_TXT" 2>&1 \
       || echo "$(date +%T) stage1.5 failed rc=$?" >> "$W"
+  fi
+
+  # stage 1.75: one-shot perf captures (VERDICT r4 #3 + #8) — bounded
+  # timeouts, attempted once (marker file) so a crash can't starve stage 2.
+  # ONE TPU job at a time: these run inside the queue, never alongside it.
+  if [ "$DRY" = 0 ] && [ ! -f /tmp/perf_r5.done ]; then
+    touch /tmp/perf_r5.done   # one attempt, even if a capture crashes
+    echo "$(date +%T) stage1.75: perf captures" >> "$W"
+    timeout 1800 env BENCH_ENV=ar BENCH_N_ENVS=1024 \
+        python tools/profile_ar_substep.py \
+        > docs/prof_ar1024_compact_r5.txt 2>&1
+    echo "$(date +%T)   prof ar compact rc=$?" >> "$W"
+    timeout 1800 env BENCH_ENV=ar BENCH_N_ENVS=1024 BENCH_NO_COMPACT=1 \
+        python tools/profile_ar_substep.py \
+        > docs/prof_ar1024_nocompact_r5.txt 2>&1
+    echo "$(date +%T)   prof ar nocompact rc=$?" >> "$W"
+    timeout 900 env BENCH_ENV=ar BENCH_AR_N_ENVS=1024 BENCH_NO_COMPACT=1 \
+        python bench.py > docs/bench_ar_nocompact_r5.txt 2>&1
+    echo "$(date +%T)   bench ar nocompact rc=$?" >> "$W"
+    timeout 900 env B=2048 SOLVER_PALLAS=1 REPS=10 \
+        python tools/bench_breakdown.py > docs/prof_uhc2048_r5.txt 2>&1
+    echo "$(date +%T)   uhc 2048 rc=$?" >> "$W"
+    timeout 900 env B=8192 SOLVER_PALLAS=1 REPS=10 \
+        python tools/bench_breakdown.py > docs/prof_uhc8192_r5.txt 2>&1
+    echo "$(date +%T)   uhc 8192 rc=$?" >> "$W"
   fi
 
   AR_LAST=$(latest_iter "$AR_MODELS" 0)
