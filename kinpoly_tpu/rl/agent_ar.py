@@ -56,6 +56,14 @@ class ARTrainConfig:
     num_step_update: int = 20
     num_init_update: int = 3
     log_std: float = -3.2
+    # Training rollouts SAMPLE actions (reference agents/agent.py:22,53:
+    # noise_rate=1.0 and mean_action=False in training, so select_action
+    # always draws from the Gaussian). mean_action rollouts make the PPO
+    # surrogate gradient EXACTLY zero on TPU: action == mean gives
+    # d log p / d mean = (a - m)/sigma^2 = 0 and the over-time recompute is
+    # bitwise identical to the rollout under XLA, so ratio == 1 with a zero
+    # cotangent — three rounds of "dead PPO" traced to this one flag.
+    mean_action_rollout: bool = False
     n_envs: int = 64
     rollout_steps: int = 156       # n_envs * steps ~ min_batch_size 10000
     max_grad_norm: float = 40.0
@@ -246,7 +254,8 @@ class AgentAR:
         # replicated params/optimizer state stay bitwise identical
         def _pg(g):
             return jax.lax.pmean(g, cfg.axis_name) if cfg.axis_name else g
-        carry, traj = self._rollout(carry, params, ctx, mean_action=True,
+        carry, traj = self._rollout(carry, params, ctx,
+                                    mean_action=cfg.mean_action_rollout,
                                     cc_params=cc_params)
         T, N = traj.rewards.shape
 

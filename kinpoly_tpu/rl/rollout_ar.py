@@ -69,9 +69,9 @@ def make_ar_rollout(env, policy, n_steps: int, fail_safe: bool = False):
             gru, mean = policy.action_mean(params, c.gru, c.obs)
             log_std = jnp.full_like(mean, policy.log_std)
             if mean_action:
-                # the reference samples rollouts with mean actions
-                # (policy_net.set_mode('test'), agent_ar.py:514) — exploration
-                # comes from the stochastic UHC controller in the env
+                # eval path only; TRAINING rollouts must sample (reference
+                # agents/agent.py:22,53: noise_rate=1.0, mean_action=False)
+                # or the PPO gradient is exactly zero — see ARTrainConfig
                 action = mean
             else:
                 action = mean + jnp.exp(log_std) * jax.random.normal(

@@ -113,6 +113,56 @@ def test_grad_joint_epoch():
         assert np.isfinite(m["reward_mean"]) and np.isfinite(m["ppo_loss"])
 
 
+def test_ppo_gradient_alive_iff_stochastic_rollout():
+    """The round-5 dead-PPO root cause: when rollout actions EQUAL the
+    recomputed means, the PPO surrogate gradient is exactly zero
+    (d log p/d mean = (a-m)/sigma^2 = 0 at a == m). On TPU the over-time
+    recompute is bitwise identical to the mean-action rollout, so the whole
+    composite PPO pathway was dead; training rollouts must sample (reference
+    agents/agent.py:22,53 noise_rate=1.0 -> mean_action always False)."""
+    agent = make_setup()
+    policy = agent.policy
+    params = agent.params
+    T, N = 4, 2
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.normal(key, (T, N, 105))
+    masks = jnp.ones((T, N))
+    log_std = policy.log_std
+    means = policy.action_means_over_time(params, obs, masks)
+    adv = jax.random.normal(jax.random.PRNGKey(1), (T * N,))
+
+    def surr(p, actions):
+        m = policy.action_means_over_time(p, obs, masks).reshape(T * N, -1)
+        a = actions.reshape(T * N, -1)
+        lp = nets.gaussian_log_prob(a, m, jnp.full_like(m, log_std))
+        old = nets.gaussian_log_prob(
+            a, jax.lax.stop_gradient(means).reshape(T * N, -1),
+            jnp.full_like(m, log_std))
+        ratio = jnp.exp(lp - old)
+        return -jnp.mean(jnp.minimum(ratio * adv,
+                                     jnp.clip(ratio, 0.8, 1.2) * adv))
+
+    # mean-action rollout: actions are exactly the means -> zero gradient
+    g_dead = jax.grad(surr)(params, means)
+    assert float(jax.tree_util.tree_reduce(
+        lambda acc, x: acc + jnp.sum(jnp.abs(x)), g_dead, 0.0)) == 0.0
+
+    # sampled rollout: strictly positive gradient
+    noise = jnp.exp(log_std) * jax.random.normal(jax.random.PRNGKey(2),
+                                                 means.shape)
+    g_alive = jax.grad(surr)(params, means + noise)
+    import optax
+    assert float(optax.global_norm(g_alive)) > 0.0
+
+    # behavioral: the trainer's default config now samples, so the logged
+    # PPO diagnostics must be live
+    assert agent.cfg.mean_action_rollout is False
+    out = agent.optimize_policy()
+    assert float(out["ppo_grad_norm"]) > 0.0, out["ppo_grad_norm"]
+    assert float(out["ratio_dev"]) > 0.0, out["ratio_dev"]
+    assert np.isfinite(out["ppo_loss"])
+
+
 def test_agent_ar_use_of_policy_v2():
     """use_of + policy_v=2 end to end (round-4 fix: the supervised phases
     must unwrap the {"arnet","delta"} params tree, and the value net obs
