@@ -169,7 +169,7 @@ def main():
 
     def stub_target(next_qpos):
         shape = next_qpos.shape[:-1]
-        nb = len(model.spec.bodies)
+        nb = model.spec.n_bodies
         z3 = jnp.zeros(shape + (nb * 3,), next_qpos.dtype) \
             + next_qpos[..., :1] * 1e-30
         z4 = jnp.zeros(shape + (nb * 4,), next_qpos.dtype)
