@@ -77,7 +77,8 @@ def main():
 
     agent = AgentAR(env, dataset, cfg.train_config())
     n = dataset.n_takes
-    batches = [dataset.whole_take(i, use_of=cfg.use_of) for i in range(n)]
+    batches = [dataset.whole_take(i, use_of=cfg.use_of, pad_to=T_max)
+               for i in range(n)]
     batch = jax.tree.map(lambda *xs: np.concatenate(xs, 0), *batches)
 
     rollout = roa.make_ar_rollout(env, agent.policy, T_max - 1,
