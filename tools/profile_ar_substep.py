@@ -44,10 +44,22 @@ RESULTS = {}
 def timed(name, f, *args, reps=REPS):
     dev = jax.devices()[0]
 
+    def perturb(a, c):
+        # hoist-proof: nudge every float leaf of the FIRST argument by the
+        # loop carry * 1e-30, so the scan body is NOT loop-invariant and
+        # XLA cannot hoist f out of the reps loop (which silently divided
+        # every reported time by REPS in the round-5 captures — see
+        # docs/PERF.md "measurement artifact, settled").
+        def g(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x + c.astype(x.dtype) * 1e-30
+            return x
+        return jax.tree.map(g, a)
+
     @jax.jit
     def run(*a):
         def body(c, _):
-            out = f(*a)
+            out = f(perturb(a[0], c), *a[1:])
             s = sum(jnp.sum(x) * 1e-12 for x in jax.tree.leaves(out)
                     if hasattr(x, "dtype")
                     and jnp.issubdtype(x.dtype, jnp.floating))
