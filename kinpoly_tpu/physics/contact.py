@@ -240,6 +240,141 @@ def object_contacts(scene: SceneGeoms, obj_qpos: jax.Array,
     )
 
 
+class ContactPlan(NamedTuple):
+    """Per-control-step candidate plan (hoisted selection).
+
+    The full contact build evaluates every (geom, vertex) pair and a large
+    top_k EVERY 450 Hz substep, yet the candidate ranking changes on the
+    33 ms control-step scale, not the 2.2 ms substep scale. The plan selects
+    an oversampled candidate index set ONCE per control step (from the
+    step-start pose); each substep then only refreshes the few planned
+    candidates and runs a tiny top_k over them. Indices are per-env
+    (dynamic content, XLA-static shapes).
+    """
+    floor_idx: jax.Array          # (..., Pf) into the humanoid candidate verts
+    obj_idx: jax.Array = None     # (..., Po) into flattened (geom, vert) pairs
+    of_idx: jax.Array = None      # (..., Pof) into the object floor verts
+    lim_idx: jax.Array = None     # (..., Pl) into the 69 hinge joints
+
+
+def floor_contacts_planned(cand_verts: jax.Array, cand_body: np.ndarray,
+                           xpos: jax.Array, xquat: jax.Array,
+                           plan_idx: jax.Array, k_top: int,
+                           margin: float = 0.001,
+                           friction: float = 1.0) -> ContactSet:
+    """`floor_contacts` restricted to the planned candidate indices: only
+    the P planned verts are transformed and the top_k runs over P, not N."""
+    verts = jnp.asarray(cand_verts)[plan_idx]               # (..., P, 3)
+    body = jnp.asarray(cand_body)[plan_idx]                 # (..., P)
+    bq = jnp.take_along_axis(xquat, body[..., None], axis=-2)
+    bp = jnp.take_along_axis(xpos, body[..., None], axis=-2)
+    world = bp + tmath.quat_rot_vec(bq, verts)
+    depth = margin - world[..., 2]
+    val, sub = jax.lax.top_k(depth, k_top)
+    pos = jnp.take_along_axis(world, sub[..., None], axis=-2)
+    normal = jnp.zeros_like(pos).at[..., 2].set(1.0)
+    return ContactSet(
+        pos=pos, normal=normal, depth=val,
+        body=jnp.take_along_axis(body, sub, axis=-1),
+        friction=jnp.full(val.shape, friction, dtype=val.dtype),
+        active=val > 0.0,
+        obj=jnp.full(val.shape, -1, jnp.int32),
+    )
+
+
+def object_contacts_planned(scene: SceneGeoms, obj_qpos: jax.Array,
+                            cand_verts: jax.Array, cand_body: np.ndarray,
+                            xpos: jax.Array, xquat: jax.Array,
+                            plan_idx: jax.Array, k_top: int,
+                            margin: float = 0.001,
+                            friction: float = 1.0) -> ContactSet:
+    """`object_contacts` restricted to planned (geom, vert) pairs: P SDF
+    evaluations per env instead of G*V, and top_k over P."""
+    V = cand_verts.shape[0]
+    g = plan_idx // V                                       # (..., P)
+    v = plan_idx % V
+    verts = jnp.asarray(cand_verts)[v]
+    body = jnp.asarray(cand_body)[v]
+    bq = jnp.take_along_axis(xquat, body[..., None], axis=-2)
+    bp = jnp.take_along_axis(xpos, body[..., None], axis=-2)
+    world = bp + tmath.quat_rot_vec(bq, verts)              # (..., P, 3)
+
+    g_obj = jnp.asarray(scene.obj)[g]                       # (..., P)
+    op = jnp.take_along_axis(obj_qpos, g_obj[..., None], axis=-2)
+    oq = op[..., 3:7]
+    dtype = world.dtype
+    gp = jnp.asarray(scene.pos, dtype)[g]
+    gq = jnp.asarray(scene.quat, dtype)[g]
+    wq = tmath.quat_mul(oq, gq)
+    wp = op[..., :3] + tmath.quat_rot_vec(oq, gp)
+    local = tmath.quat_rot_vec_inv(wq, world - wp)
+
+    size = jnp.asarray(scene.size, dtype)[g]                # (..., P, 3)
+    d_box, n_box = _sdf_box(local, size)
+    d_cyl, n_cyl = _sdf_cylinder(local, size)
+    is_box = (jnp.asarray(scene.gtype)[g] == 0)
+    dist = jnp.where(is_box, d_box, d_cyl)
+    n_local = jnp.where(is_box[..., None], n_box, n_cyl)
+    normal = tmath.quat_rot_vec(wq, n_local)
+
+    depth = margin - dist
+    val, sub = jax.lax.top_k(depth, k_top)
+    return ContactSet(
+        pos=jnp.take_along_axis(world, sub[..., None], axis=-2),
+        normal=jnp.take_along_axis(normal, sub[..., None], axis=-2),
+        depth=val,
+        body=jnp.take_along_axis(body, sub, axis=-1),
+        friction=jnp.full(val.shape, friction, dtype=val.dtype),
+        active=val > 0.0,
+        obj=jnp.take_along_axis(g_obj, sub, axis=-1).astype(jnp.int32),
+    )
+
+
+def object_floor_contacts_planned(obj_qpos: jax.Array, verts: np.ndarray,
+                                  vert_obj: np.ndarray, plan_idx: jax.Array,
+                                  k_top: int, margin: float = 0.001,
+                                  friction: float = 1.0) -> ContactSet:
+    """`object_floor_contacts` restricted to the planned vert indices."""
+    vo = jnp.asarray(vert_obj)[plan_idx]                    # (..., P)
+    vv = jnp.asarray(verts, obj_qpos.dtype)[plan_idx]       # (..., P, 3)
+    op = jnp.take_along_axis(obj_qpos, vo[..., None], axis=-2)
+    world = op[..., :3] + tmath.quat_rot_vec(op[..., 3:7], vv)
+    depth = margin - world[..., 2]
+    val, sub = jax.lax.top_k(depth, k_top)
+    pos = jnp.take_along_axis(world, sub[..., None], axis=-2)
+    normal = jnp.zeros_like(pos).at[..., 2].set(-1.0)
+    return ContactSet(
+        pos=pos, normal=normal, depth=val,
+        body=jnp.full(val.shape, -1, jnp.int32),
+        friction=jnp.full(val.shape, friction, dtype=val.dtype),
+        active=val > 0.0,
+        obj=jnp.take_along_axis(vo, sub, axis=-1).astype(jnp.int32),
+    )
+
+
+def joint_limit_contacts_planned(qpos: jax.Array, jnt_range: np.ndarray,
+                                 plan_idx: jax.Array, k_top: int,
+                                 nv: int = 75):
+    """`joint_limit_contacts` restricted to the planned joint indices."""
+    q = jnp.take_along_axis(qpos[..., 7:], plan_idx, axis=-1)
+    lo = jnp.asarray(jnt_range[:, 0], qpos.dtype)[plan_idx]
+    hi = jnp.asarray(jnt_range[:, 1], qpos.dtype)[plan_idx]
+    d_lo = lo - q
+    d_hi = q - hi
+    depth_all = jnp.maximum(d_lo, d_hi)
+    sign = jnp.where(d_lo > d_hi, 1.0, -1.0)
+
+    val, sub = jax.lax.top_k(depth_all, k_top)
+    sgn = jnp.take_along_axis(sign, sub, axis=-1)
+    jidx = jnp.take_along_axis(plan_idx, sub, axis=-1)
+    active = val > 0.0
+
+    rows = jax.nn.one_hot(jidx + 6, nv, dtype=qpos.dtype) * sgn[..., None]
+    J = jnp.zeros(rows.shape[:-2] + (k_top, 3, nv), qpos.dtype)
+    J = J.at[..., 0, :].set(rows)
+    return J.reshape(rows.shape[:-2] + (3 * k_top, nv)), val, active
+
+
 def merge_contacts(a: ContactSet, b: ContactSet) -> ContactSet:
     cat2 = lambda x, y: jnp.concatenate([x, y], axis=-2)
     cat1 = lambda x, y: jnp.concatenate([x, y], axis=-1)

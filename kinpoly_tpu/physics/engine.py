@@ -136,6 +136,16 @@ class PhysicsModel:
     # even full-K compaction reorders the Gauss-Seidel sweep — converged
     # forces match to solver tolerance, not bitwise.
     compact_k: tuple | None = None
+    # contact-plan hoisting (round-5): select an oversampled candidate index
+    # set ONCE per control step (from the step-start pose via one cheap FK);
+    # each 450 Hz substep then evaluates only the planned candidates (a few
+    # dozen gathers + a tiny top_k) instead of every (geom, vertex) pair.
+    # The candidate ranking moves on the 33 ms control-step scale, so with
+    # `plan_oversample` headroom the per-substep top-K selection is unchanged
+    # unless a candidate outside the plan penetrates mid-step (bounded by
+    # qvel_clip * control_dt of travel). None/False = exact per-substep build.
+    plan_contacts: bool = False
+    plan_oversample: int = 2
     # stability guard: |qvel| cap per substep. Legit motion stays < 30 rad/s;
     # this stops the v^2 Coriolis feedback loop that can take a blown-up env
     # from ~1e2 to inf within one 15-substep control step (the reference
@@ -153,6 +163,10 @@ class PhysicsModel:
 
 
 def build_model(spec, ctrl: ControlParams, with_objects: bool = False, **kw) -> PhysicsModel:
+    # contact-plan hoisting is the production default (round-5; equivalence
+    # in tests/test_contact_plan.py); pass plan_contacts=False for the exact
+    # per-substep candidate build
+    kw.setdefault("plan_contacts", True)
     cand_verts, cand_body = ct.select_contact_vertices(
         spec, per_body=ct.FOOT_BODIES, default_k=4
     )
@@ -317,21 +331,70 @@ def _compact_rows(compact_k, J, depth, active, friction, row_live,
     return J, depth, active, friction, row_live, Jo, obj_rows
 
 
+def build_contact_plan(model: PhysicsModel, qpos: jax.Array,
+                       obj_qpos=None) -> ct.ContactPlan:
+    """Select the per-control-step candidate index sets (one cheap FK at the
+    step-start pose; see `PhysicsModel.plan_contacts`). Plan sizes are
+    `plan_oversample` x the per-substep top-K of each candidate family,
+    clamped to the family size."""
+    spec = model.spec
+    dtype = qpos.dtype
+    ov = model.plan_oversample
+    fk_res = fklib.fk(spec, qpos)
+    cand = jnp.asarray(model.cand_verts, dtype)
+    bq = fk_res.xquat[..., model.cand_body, :]
+    bp = fk_res.xpos[..., model.cand_body, :]
+    world = bp + tmath.quat_rot_vec(bq, cand)
+
+    n_cand = cand.shape[0]
+    floor_idx = jax.lax.top_k(-world[..., 2],
+                              min(ov * model.contact_top_k, n_cand))[1]
+
+    obj_idx = of_idx = None
+    if model.scene is not None and obj_qpos is not None:
+        dist, _ = ct.object_point_distances(model.scene, obj_qpos, world)
+        dist_f = dist.reshape(dist.shape[:-2] + (-1,))
+        obj_idx = jax.lax.top_k(
+            -dist_f, min(ov * model.object_top_k, dist_f.shape[-1]))[1]
+    if model.movable_objects and model.obj_dyn is not None \
+            and obj_qpos is not None:
+        od = model.obj_dyn
+        vo = jnp.asarray(od.floor_vert_obj)
+        op = obj_qpos[..., vo, :]
+        w = op[..., :3] + tmath.quat_rot_vec(
+            op[..., 3:7], jnp.asarray(od.floor_verts, dtype))
+        of_idx = jax.lax.top_k(
+            -w[..., 2], min(ov * model.obj_floor_top_k, w.shape[-2]))[1]
+
+    lim_idx = None
+    if model.with_joint_limits:
+        q = qpos[..., 7:]
+        lo = jnp.asarray(spec.jnt_range[:, 0], dtype)
+        hi = jnp.asarray(spec.jnt_range[:, 1], dtype)
+        depth_all = jnp.maximum(lo - q, q - hi)
+        lim_idx = jax.lax.top_k(
+            depth_all, min(ov * model.limit_top_k, depth_all.shape[-1]))[1]
+
+    return ct.ContactPlan(floor_idx=floor_idx, obj_idx=obj_idx,
+                          of_idx=of_idx, lim_idx=lim_idx)
+
+
 def substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
             base_rot, jkp=None, jkd=None, with_contacts: bool = True,
-            obj_qpos=None) -> SimState:
+            obj_qpos=None, plan: ct.ContactPlan | None = None) -> SimState:
     """One 450 Hz physics substep with PD control.
 
     `obj_qpos` (..., n_obj, 7): poses of the interactable objects (static
-    collision geometry; requires model.scene)."""
+    collision geometry; requires model.scene). `plan`: optional hoisted
+    candidate selection (see `build_contact_plan`)."""
     with jax.default_matmul_precision("highest"):
         return _substep(model, state, ctrl_joint, vf, base_pos, base_rot,
-                        jkp, jkd, with_contacts, obj_qpos)
+                        jkp, jkd, with_contacts, obj_qpos, plan)
 
 
 def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
              base_rot, jkp=None, jkd=None, with_contacts: bool = True,
-             obj_qpos=None) -> SimState:
+             obj_qpos=None, plan: ct.ContactPlan | None = None) -> SimState:
     """Physics substep body. All matmuls/einsums here run at HIGHEST
     precision: TPU f32 matmuls default to bf16 passes, which corrupts the
     75x75 CRBA mass matrix enough to break its Cholesky (NaNs)."""
@@ -396,29 +459,49 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         qacc = solve_M((tau - C)[..., None])[..., 0]
     else:
         cand = jnp.asarray(model.cand_verts, dtype)
-        cs = ct.floor_contacts(
-            spec, cand, model.cand_body,
-            ks.fk_res.xpos, ks.fk_res.xquat, model.contact_top_k,
-            margin=spec.geom_margin, friction=model.friction,
-        )
+        if plan is not None:
+            cs = ct.floor_contacts_planned(
+                cand, model.cand_body, ks.fk_res.xpos, ks.fk_res.xquat,
+                plan.floor_idx, model.contact_top_k,
+                margin=spec.geom_margin, friction=model.friction)
+        else:
+            cs = ct.floor_contacts(
+                spec, cand, model.cand_body,
+                ks.fk_res.xpos, ks.fk_res.xquat, model.contact_top_k,
+                margin=spec.geom_margin, friction=model.friction,
+            )
         n_live = [cs.depth.shape[-1]]
         if model.scene is not None and obj_qpos is not None:
-            bq = ks.fk_res.xquat[..., model.cand_body, :]
-            bp = ks.fk_res.xpos[..., model.cand_body, :]
-            world = bp + tmath.quat_rot_vec(bq, cand)
-            ocs = ct.object_contacts(
-                model.scene, obj_qpos, world, model.cand_body,
-                model.object_top_k, margin=spec.geom_margin,
-                friction=model.friction)
+            if plan is not None:
+                ocs = ct.object_contacts_planned(
+                    model.scene, obj_qpos, cand, model.cand_body,
+                    ks.fk_res.xpos, ks.fk_res.xquat, plan.obj_idx,
+                    model.object_top_k, margin=spec.geom_margin,
+                    friction=model.friction)
+            else:
+                bq = ks.fk_res.xquat[..., model.cand_body, :]
+                bp = ks.fk_res.xpos[..., model.cand_body, :]
+                world = bp + tmath.quat_rot_vec(bq, cand)
+                ocs = ct.object_contacts(
+                    model.scene, obj_qpos, world, model.cand_body,
+                    model.object_top_k, margin=spec.geom_margin,
+                    friction=model.friction)
             cs = ct.merge_contacts(cs, ocs)
             n_live.append(ocs.depth.shape[-1])
         fcs = None
         split_of = movable and model.split_of
         if movable:
-            fcs = ct.object_floor_contacts(
-                obj_qpos, model.obj_dyn.floor_verts,
-                model.obj_dyn.floor_vert_obj, model.obj_floor_top_k,
-                margin=spec.geom_margin, friction=model.friction)
+            if plan is not None:
+                fcs = ct.object_floor_contacts_planned(
+                    obj_qpos, model.obj_dyn.floor_verts,
+                    model.obj_dyn.floor_vert_obj, plan.of_idx,
+                    model.obj_floor_top_k,
+                    margin=spec.geom_margin, friction=model.friction)
+            else:
+                fcs = ct.object_floor_contacts(
+                    obj_qpos, model.obj_dyn.floor_verts,
+                    model.obj_dyn.floor_vert_obj, model.obj_floor_top_k,
+                    margin=spec.geom_margin, friction=model.friction)
             if not split_of:
                 cs = ct.merge_contacts(cs, fcs)
                 n_live.append(fcs.depth.shape[-1])
@@ -428,8 +511,13 @@ def _substep(model: PhysicsModel, state: SimState, ctrl_joint, vf, base_pos,
         row_live = None
 
         if model.with_joint_limits:
-            Jl, dl, al = ct.joint_limit_contacts(
-                qpos, spec.jnt_range, model.limit_top_k, nv=qvel.shape[-1])
+            if plan is not None:
+                Jl, dl, al = ct.joint_limit_contacts_planned(
+                    qpos, spec.jnt_range, plan.lim_idx, model.limit_top_k,
+                    nv=qvel.shape[-1])
+            else:
+                Jl, dl, al = ct.joint_limit_contacts(
+                    qpos, spec.jnt_range, model.limit_top_k, nv=qvel.shape[-1])
             J = jnp.concatenate([J, Jl], axis=-2)
             depth = jnp.concatenate([depth, dl], axis=-1)
             active = jnp.concatenate([active, al], axis=-1)
@@ -594,6 +682,12 @@ def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
     else:
         base_pos = jnp.asarray(c.a_ref, dtype)
 
+    plan = None
+    if model.plan_contacts and with_contacts:
+        plan_obj = state.obj_qpos if (model.movable_objects and
+                                      state.obj_qpos is not None) else obj_qpos
+        plan = build_contact_plan(model, state.qpos, plan_obj)
+
     if c.meta_pd:
         meta = action[..., 69 + c.vf_dim:69 + c.vf_dim + 2 * model.n_substeps]
 
@@ -602,14 +696,15 @@ def control_step(model: PhysicsModel, state: SimState, action: jax.Array,
             kd = jnp.asarray(c.jkd, dtype) * jnp.clip(meta[..., i + model.n_substeps, None] + 1, 0, 10)
             return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
                            jkp=kp, jkd=kd, with_contacts=with_contacts,
-                           obj_qpos=obj_qpos), None
+                           obj_qpos=obj_qpos, plan=plan), None
 
         state, _ = jax.lax.scan(body, state, jnp.arange(model.n_substeps))
         return state
 
     def body(s, _):
         return substep(model, s, ctrl_joint, vf, base_pos, base_rot,
-                       with_contacts=with_contacts, obj_qpos=obj_qpos), None
+                       with_contacts=with_contacts, obj_qpos=obj_qpos,
+                       plan=plan), None
 
     state, _ = jax.lax.scan(body, state, None, length=model.n_substeps)
     return state
