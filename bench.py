@@ -66,7 +66,10 @@ def build():
             # 18 candidate blocks (12 floor contacts + 6 joint limits);
             # e.g. BENCH_COMPACT_UHC=14 -> 42 constraint rows instead of 54
             compact_k=((int(os.environ["BENCH_COMPACT_UHC"]), 0)
-                       if os.environ.get("BENCH_COMPACT_UHC") else None))
+                       if os.environ.get("BENCH_COMPACT_UHC") else None),
+            # round-5 contact-plan hoisting A/B (BENCH_NO_PLAN=1 -> exact
+            # per-substep candidate build)
+            plan_contacts=not os.environ.get("BENCH_NO_PLAN"))
         standing = joblib.load(STANDING)
         qpos = np.asarray(standing["qpos"], dtype=np.float32)
 
@@ -150,7 +153,8 @@ def build_ar():
             use_pallas_pgs=bool(int(os.environ.get("BENCH_PALLAS_PGS",
                                                    "1" if on_tpu else "0"))),
             compact_k=(None if os.environ.get("BENCH_NO_COMPACT")
-                       else (16, 8)))
+                       else (16, 8)),
+            plan_contacts=not os.environ.get("BENCH_NO_PLAN"))
         standing = joblib.load(STANDING)
         q = np.asarray(standing["qpos"], np.float32)
         rngn = np.random.RandomState(0)

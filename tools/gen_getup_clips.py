@@ -12,9 +12,15 @@ staged variants so adaptive sampling has a gradient to climb:
   prone-*        prone -> quadruped -> kneel -> stand
 
 Raw qpos bank {name: {"qpos": (T, 76)}}, mergeable with clips60
-(tools/merge_banks.py). Same keyframe system as tools/gen_hard_clips.py
-(root pitch track about world x: -pi/2 = supine, +pi/2 = prone; the
-standing humanoid faces +y).
+(tools/merge_banks.py). Same keyframe system as tools/gen_hard_clips.py.
+
+Root pitch track about world x with the +y-facing humanoid:
++pi/2 = supine (face-up), -pi/2 = prone (face-down). ROUND-5 FIX: the old
+note had these REVERSED, so every "supine" getup clip was authored
+face-down and its sit-up mechanics (hip/torso flexion) drove the legs up
+to 0.77 m below the floor; fix_floor's root lift then levitated the whole
+reference body — the untrackable flying GT behind the getup family's
+19-35% coverage.
 """
 
 import os
@@ -115,8 +121,12 @@ def keyframes(duration, keys, seed=0, arm_noise=0.03):
     return q.astype(np.float32)
 
 
-def fix_floor(q, clearance=0.01):
-    """Per-frame root-z lift so no contact vertex is below the floor."""
+def snap_floor(q, clearance=0.005):
+    """Two-sided per-frame root-z snap: the lowest contact vertex sits AT
+    the floor (round-5 fix; the old one-sided lift let authored poses
+    FLOAT — the prone QUAD hovered 14 cm with no support and the sim body
+    slumped off the reference). Ground-skill clips always have intended
+    support, so snapping down is as correct as lifting up."""
     import jax.numpy as jnp
 
     from kinpoly_tpu.core import tmath
@@ -127,7 +137,7 @@ def fix_floor(q, clearance=0.01):
     bp = res.xpos[:, vbody, :]
     world = np.asarray(bp + tmath.quat_rot_vec(bq, jnp.asarray(verts, q.dtype)))
     low = world[..., 2].min(axis=1)
-    lift = np.maximum(0.0, clearance - low)
+    lift = clearance - low
     k = np.hanning(9); k /= k.sum()
     lift = np.convolve(np.pad(lift, 4, mode="edge"), k, mode="valid")
     q = q.copy()
@@ -178,17 +188,32 @@ QUAD = {("L_Hip", 2): -1.5, ("R_Hip", 2): -1.5,
 
 clips = {}
 
-# situp: supine -> floor sit -> hold -> back down -> hold (both directions
-# of the transition the UHC fails at)
+# hook-lying: knees drawn up so the feet stay planted next to the pelvis —
+# the pose a real sit-up passes through. Round-5 fix: the old straight-leg
+# sit-up path swept the extended legs ~0.77 m BELOW the floor as the root
+# pitched up, and fix_floor then levitated the whole reference body; with
+# hooks the legs stay floor-consistent through every interpolated pitch.
+HOOK = {("L_Hip", 2): -1.05, ("R_Hip", 2): -1.05,
+        ("L_Knee", 2): 1.9, ("R_Knee", 2): 1.9,
+        ("L_Ankle", 2): -0.5, ("R_Ankle", 2): -0.5}
+HOOK_SIT = dict(HOOK)
+HOOK_SIT.update({("Torso", 2): -0.35, ("Spine", 2): -0.25,
+                 ("Chest", 2): -0.18,
+                 ("L_Shoulder", 1): -0.5, ("R_Shoulder", 1): 0.5})
+
+# situp: supine -> hook knees -> sit up over the planted feet -> extend to
+# floor sit -> hold -> reverse (both directions of the failing transition)
 for k, (up, hold) in enumerate(((1.0, 1.0), (1.3, 0.8), (0.8, 1.2))):
     keys = [
-        (0.0, (0, 0, -0.80), 0, -np.pi / 2, {}),
-        (0.9, (0, 0, -0.80), 0, -np.pi / 2, {}),
-        (0.9 + up * 0.6, (0, 0.02, -0.78), 0, -np.pi / 3.2, SITUP_HALF),
-        (0.9 + up, (0, 0.05, -0.76), 0, -np.pi / 12, FLOORSIT),
-        (0.9 + up + hold, (0, 0.05, -0.76), 0, -np.pi / 12, FLOORSIT),
-        (0.9 + up + hold + 0.9, (0, 0, -0.80), 0, -np.pi / 2, {}),
-        (5.0, (0, 0, -0.80), 0, -np.pi / 2, {}),
+        (0.0, (0, 0, -0.80), 0, np.pi / 2, {}),
+        (0.9, (0, 0, -0.80), 0, np.pi / 2, {}),
+        (1.15, (0, 0, -0.79), 0, np.pi / 2, HOOK),           # draw feet up
+        (0.9 + up * 0.7, (0, 0.03, -0.74), 0, np.pi / 5, HOOK_SIT),
+        (0.9 + up, (0, 0.05, -0.76), 0, np.pi / 12, FLOORSIT),
+        (0.9 + up + hold, (0, 0.05, -0.76), 0, np.pi / 12, FLOORSIT),
+        (0.9 + up + hold + 0.5, (0, 0.03, -0.74), 0, np.pi / 5, HOOK_SIT),
+        (0.9 + up + hold + 0.9, (0, 0, -0.79), 0, np.pi / 2, HOOK),
+        (5.0, (0, 0, -0.80), 0, np.pi / 2, {}),
     ]
     clips[f"situp-{k:02d}"] = dict(qpos=keyframes(5.0, keys, seed=600 + k))
 
@@ -212,9 +237,10 @@ for k in range(2):
 # the hard target)
 for k, pause in enumerate((0.0, 0.3, 0.6)):
     keys = [
-        (0.0, (0, 0, -0.80), 0, -np.pi / 2, {}),
-        (1.0, (0, 0, -0.80), 0, -np.pi / 2, {}),
-        (2.2, (0, 0.04, -0.76), 0, -np.pi / 8, FLOORSIT),   # sit up
+        (0.0, (0, 0, -0.80), 0, np.pi / 2, {}),
+        (1.0, (0, 0, -0.80), 0, np.pi / 2, {}),
+        (1.4, (0, 0, -0.79), 0, np.pi / 2, HOOK),           # hook knees
+        (2.2, (0, 0.04, -0.74), 0, np.pi / 6, HOOK_SIT),    # sit up on hooks
         (2.9 + pause, (0, 0.06, -0.74), 0, 0.0, TUCK),      # tuck legs under
         (3.8 + pause, (0, 0.08, -0.62), 0, 0.15, KNEEL),    # kneel tall
         (4.8 + pause, (0, 0.08, -0.62), 0, 0.15, KNEEL),
@@ -227,9 +253,9 @@ for k, pause in enumerate((0.0, 0.3, 0.6)):
 # prone get-up: face down -> quadruped -> kneel -> stand
 for k in range(2):
     keys = [
-        (0.0, (0, 0, -0.82), 0, np.pi / 2, {}),             # prone
-        (1.0, (0, 0, -0.82), 0, np.pi / 2, {}),
-        (2.0, (0, -0.04, -0.60), 0, np.pi / 2.6, QUAD),     # push to all-fours
+        (0.0, (0, 0, -0.82), 0, -np.pi / 2, {}),            # prone
+        (1.0, (0, 0, -0.82), 0, -np.pi / 2, {}),
+        (2.0, (0, -0.04, -0.60), 0, -np.pi / 2.6, QUAD),    # push to all-fours
         (2.8, (0, -0.04, -0.62), 0, 0.25, KNEEL),           # rock back to kneel
         (3.6, (0, -0.04, -0.62), 0, 0.15, KNEEL),
         (4.3, (0, 0.0, -0.45), 0, 0.1, LUNGE),
@@ -238,8 +264,29 @@ for k in range(2):
     ]
     clips[f"prone-{k:02d}"] = dict(qpos=keyframes(6.0, keys, seed=660 + k))
 
+from kinpoly_tpu.data import ground_fix
+
 for nm in clips:
-    clips[nm]["qpos"] = fix_floor(clips[nm]["qpos"])
+    q = clips[nm]["qpos"]
+    # round-5 feasibility fix: interpolated leg/arm chains dove up to 0.77 m
+    # below the floor (sit/kneel phases), and fix_floor's root lift then
+    # LEVITATED the whole reference body ~0.7 m — untrackable flying motion
+    # (the getup-family 27% coverage root cause). Ground the chains first so
+    # fix_floor only absorbs millimetres.
+    lift_before = ground_fix.max_root_lift(spec, q)
+    q, _ = ground_fix.ground_legs(spec, q)
+    q, _ = ground_fix.ground_arms(spec, q)
+    lift_after = ground_fix.max_root_lift(spec, q)
+    clips[nm]["qpos"] = snap_floor(q)
+    print(f"{nm}: fix_floor lift {lift_before:.3f} -> {lift_after:.3f} m")
+    # kneel/tuck/lunge phases legitimately need 0.3-0.4 m of root lift (the
+    # knees/toes are the support and the keys are authored low — snap_floor
+    # settles them ON the floor); the failure mode this guards is the
+    # 0.6-0.8 m LYING-POSE levitation. The true acceptance check is the
+    # UHC tracking eval on the regenerated bank.
+    if lift_after > 0.5:
+        print(f"  WARNING: {nm} residual lift {lift_after:.2f} m — "
+              f"likely still authored through the floor")
 
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 joblib.dump(clips, OUT)

@@ -163,16 +163,25 @@ for k, (amt, dur) in enumerate(((np.pi, 1.2), (2 * np.pi, 2.0), (-np.pi, 1.0))):
     ]
     clips[f"turn-{k:02d}"] = dict(qpos=keyframes(5.0, keys, seed=540 + k))
 
-# get up from supine: lying on back -> sit-up -> tuck -> crouch -> stand.
-# pitch -pi/2 rolls the (+y-facing) body onto its back; root z follows the
-# torso thickness while down.
-SITUP = {("L_Hip", 2): -0.9, ("R_Hip", 2): -0.9, ("Torso", 2): -0.5,
-         ("Spine", 2): -0.35, ("Chest", 2): -0.25}
+# get up from supine: lying on back -> hook knees -> sit-up -> tuck ->
+# crouch -> stand. pitch +pi/2 rolls the (+y-facing) body onto its back
+# (round-5 fix: the sign was reversed — the old "supine" was face-DOWN).
+# Round-5 fix: the sit-up passes through hook-lying (knees drawn up, feet
+# planted) — the old straight-leg path swept the legs ~0.7 m below the
+# floor as the root pitched up and fix_floor levitated the reference body
+# (the 27%-coverage root cause; see tools/gen_getup_clips.py).
+SITUP = {("L_Hip", 2): -1.05, ("R_Hip", 2): -1.05,
+         ("L_Knee", 2): 1.9, ("R_Knee", 2): 1.9,
+         ("L_Ankle", 2): -0.5, ("R_Ankle", 2): -0.5,
+         ("Torso", 2): -0.5, ("Spine", 2): -0.35, ("Chest", 2): -0.25}
+HOOK_LIE = {k: v for k, v in SITUP.items() if k[0] not in
+            ("Torso", "Spine", "Chest")}
 for k in range(3):
     keys = [
-        (0.0, (0, 0, -0.78), 0, -np.pi / 2, {}),          # supine
-        (0.9, (0, 0, -0.78), 0, -np.pi / 2, {}),
-        (1.7, (0, 0.05, -0.72), 0, -np.pi / 4, SITUP),    # sit up
+        (0.0, (0, 0, -0.78), 0, np.pi / 2, {}),           # supine
+        (0.9, (0, 0, -0.78), 0, np.pi / 2, {}),
+        (1.25, (0, 0, -0.77), 0, np.pi / 2, HOOK_LIE),    # hook knees
+        (1.7, (0, 0.05, -0.72), 0, np.pi / 4, SITUP),     # sit up on hooks
         (2.5, (0, 0.1, -0.52), 0, 0.0, TUCK),             # tuck under
         (3.3, (0, 0.1, -0.3), 0, 0, CROUCH),              # crouch
         (4.2, (0, 0.1, 0), 0, 0, {}),                     # stand
@@ -201,8 +210,18 @@ def fix_floor(q, clearance=0.01):
     return q
 
 
+from kinpoly_tpu.data import ground_fix
+
 for nm in clips:
-    clips[nm]["qpos"] = fix_floor(clips[nm]["qpos"])
+    q = clips[nm]["qpos"]
+    # round-5 feasibility fix (see tools/gen_getup_clips.py): ground the
+    # leg/arm chains so fix_floor cannot levitate the reference body
+    lift_before = ground_fix.max_root_lift(spec, q)
+    q, _ = ground_fix.ground_legs(spec, q)
+    q, _ = ground_fix.ground_arms(spec, q)
+    lift_after = ground_fix.max_root_lift(spec, q)
+    clips[nm]["qpos"] = fix_floor(q)
+    print(f"{nm}: fix_floor lift {lift_before:.3f} -> {lift_after:.3f} m")
 
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 joblib.dump(clips, OUT)

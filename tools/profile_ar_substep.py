@@ -273,6 +273,42 @@ def main():
               oq, model.obj_dyn.floor_verts, model.obj_dyn.floor_vert_obj,
               model.obj_floor_top_k, margin=spec.geom_margin,
               friction=model.friction)), obj_qpos)
+    # ---- round-5 contact-plan rows (hoisted selection) ---------------------
+    if model.plan_contacts:
+        plan = jax.device_put(
+            jax.jit(lambda q, oq: eng.build_contact_plan(model, q, oq))(
+                qpos, obj_qpos), jax.devices()[0])
+        timed("contact plan build (1x/ctrl step)",
+              P(lambda q, oq: eng.build_contact_plan(model, q, oq)),
+              qpos, obj_qpos)
+        timed("contacts planned: floor+object",
+              P(lambda ks, oq: ct.merge_contacts(
+                  ct.floor_contacts_planned(
+                      jnp.asarray(model.cand_verts, dtype), model.cand_body,
+                      ks.fk_res.xpos, ks.fk_res.xquat, plan.floor_idx,
+                      model.contact_top_k, margin=spec.geom_margin,
+                      friction=model.friction),
+                  ct.object_contacts_planned(
+                      model.scene, oq, jnp.asarray(model.cand_verts, dtype),
+                      model.cand_body, ks.fk_res.xpos, ks.fk_res.xquat,
+                      plan.obj_idx, model.object_top_k,
+                      margin=spec.geom_margin, friction=model.friction))),
+              iv["ks"], obj_qpos)
+        timed("contacts planned: object-floor",
+              P(lambda oq: ct.object_floor_contacts_planned(
+                  oq, model.obj_dyn.floor_verts, model.obj_dyn.floor_vert_obj,
+                  plan.of_idx, model.obj_floor_top_k,
+                  margin=spec.geom_margin, friction=model.friction)),
+              obj_qpos)
+        timed("joint_limit_contacts planned",
+              P(lambda q: ct.joint_limit_contacts_planned(
+                  q, spec.jnt_range, plan.lim_idx, model.limit_top_k,
+                  nv=qvel.shape[-1])), qpos)
+        timed("substep (planned)",
+              lambda s, cj, v, bp, br: eng.substep(
+                  model, s, cj, v, bp, br, plan=plan),
+              st, ctrl_joint, vf, base_pos, base_rot)
+
     timed("contact_jacobian (humanoid)",
           P(lambda cs, ks: ct.contact_jacobian(cs, ks.phi,
                                                tables.anc_dof_body)),
